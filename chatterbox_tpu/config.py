@@ -1,0 +1,176 @@
+"""Configuration system.
+
+Keeps the exact environment-variable surface of the reference
+(/root/reference/src/config.py:5-129): an app-level config read from plain env
+vars (plus an optional ``.env`` file) and a ``TTS_``-prefixed config whose
+fields double as the per-request API parameter defaults (3-level precedence:
+request param > env var > coded default).
+
+pydantic-settings is not available in this environment, so a small
+``BaseSettings``-equivalent is implemented on top of pydantic v2: fields are
+filled from the environment (case-insensitive), with JSON decoding for
+structured fields.
+"""
+from __future__ import annotations
+
+import json
+import os
+from functools import lru_cache
+from typing import Any, Dict, List, Optional, Type, TypeVar
+
+from pydantic import BaseModel, Field
+
+T = TypeVar("T", bound="EnvConfig")
+
+
+def _read_env_file(path: str) -> Dict[str, str]:
+    """Parse a minimal KEY=VALUE .env file (no interpolation)."""
+    out: Dict[str, str] = {}
+    if not os.path.isfile(path):
+        return out
+    with open(path, "r", encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            key, _, value = line.partition("=")
+            value = value.strip().strip("'\"")
+            out[key.strip()] = value
+    return out
+
+
+class EnvConfig(BaseModel):
+    """A pydantic model whose fields are populated from environment variables.
+
+    Subclasses may set ``ENV_PREFIX`` (e.g. ``"TTS_"``) and ``ENV_FILE``.
+    Lookup is case-insensitive on the field name, prefixed with ENV_PREFIX.
+    """
+
+    ENV_PREFIX: str = ""  # class-level, overridden by subclasses
+
+    model_config = {"extra": "ignore"}
+
+    @classmethod
+    def from_env(cls: Type[T], env: Optional[Dict[str, str]] = None, env_file: str = ".env") -> T:
+        source: Dict[str, str] = {}
+        source.update(_read_env_file(env_file))
+        source.update(dict(os.environ))
+        if env:
+            source.update(env)
+        # Case-insensitive index of available vars.
+        upper = {k.upper(): v for k, v in source.items()}
+        prefix = cls.model_fields["ENV_PREFIX"].default or ""
+        values: Dict[str, Any] = {}
+        for name, field in cls.model_fields.items():
+            if name == "ENV_PREFIX":
+                continue
+            key = (prefix + name).upper()
+            if key not in upper:
+                continue
+            raw = upper[key]
+            ann = field.annotation
+            if ann in (List[str], list, List):
+                try:
+                    values[name] = json.loads(raw)
+                except json.JSONDecodeError:
+                    values[name] = [s.strip() for s in raw.split(",") if s.strip()]
+            elif ann is bool or ann == Optional[bool]:
+                values[name] = raw.strip().lower() in ("1", "true", "yes", "on")
+            else:
+                values[name] = raw
+        return cls(**values)
+
+
+class AppConfig(EnvConfig):
+    """Server / infrastructure settings (reference src/config.py:5-67)."""
+
+    ENV_PREFIX: str = ""
+
+    HOST: str = Field(default="0.0.0.0", description="Bind address for the HTTP server.")
+    PORT: int = Field(default=8000, description="Bind port for the HTTP server.")
+    DEBUG: bool = Field(default=False, description="Enable debug mode.")
+    LOG_LEVEL: str = Field(default="INFO", description="Logging level.")
+
+    VOICES_DIR: str = Field(default="voices/", description="Directory for user-uploaded voices.")
+    PRELOADED_VOICES_DIR: str = Field(
+        default="preloaded-voices/", description="Directory for preloaded voices."
+    )
+    MODEL_PATH: str = Field(default="models", description="Directory containing model checkpoints.")
+
+    # The reference makes API_KEY required with no default (src/config.py:43-45);
+    # we keep it required for serving but validate at server startup rather than
+    # import time so the library is importable without serving credentials.
+    API_KEY: Optional[str] = Field(default=None, description="API key for authentication.")
+
+    CORS_ORIGINS: List[str] = Field(default=["*"], description="Allowed CORS origins.")
+
+    CONCURRENT_REQUESTS_PER_WORKER: int = Field(
+        default=1, description="Max concurrent TTS requests per engine."
+    )
+    WORKERS_PER_DEVICE: int = Field(
+        default=1, description="Engine instances per device (TPU chips share one process)."
+    )
+
+    # TPU-native additions (absent from the reference): decode batching knobs.
+    MAX_DECODE_SLOTS: int = Field(
+        default=16, description="Continuous-batching decode slots per chip."
+    )
+    DTYPE_POLICY: str = Field(
+        default="bfloat16", description="Compute dtype for model matmuls (bfloat16|float32)."
+    )
+
+
+class TTSConfig(EnvConfig):
+    """Per-request synthesis defaults, env-overridable with the TTS_ prefix
+    (reference src/config.py:71-129). Every field is also the default of the
+    matching API parameter."""
+
+    ENV_PREFIX: str = "TTS_"
+
+    VOICE_EXAGGERATION_FACTOR: float = Field(default=0.5)
+    CFG_GUIDANCE_WEIGHT: float = Field(default=0.5)
+    SYNTHESIS_TEMPERATURE: float = Field(default=0.8)
+
+    TEXT_PROCESSING_CHUNK_SIZE: int = Field(default=150)
+    AUDIO_TOKENS_PER_SLICE: int = Field(default=35)
+
+    REMOVE_LEADING_MILLISECONDS: int = Field(default=0)
+    REMOVE_TRAILING_MILLISECONDS: int = Field(default=0)
+
+    CHUNK_OVERLAP_STRATEGY: str = Field(default="full")  # "full" | "zero"
+    CROSSFADE_DURATION_MILLISECONDS: int = Field(default=30)
+
+    SPEECH_TOKEN_QUEUE_MAX_SIZE: int = Field(default=2)
+    PCM_CHUNK_QUEUE_MAX_SIZE: int = Field(default=3)
+
+
+@lru_cache(maxsize=1)
+def get_settings() -> AppConfig:
+    return AppConfig.from_env()
+
+
+@lru_cache(maxsize=1)
+def get_tts_config() -> TTSConfig:
+    return TTSConfig.from_env()
+
+
+def reset_config_cache() -> None:
+    """For tests: re-read env on next access."""
+    get_settings.cache_clear()
+    get_tts_config.cache_clear()
+
+
+class _LazyProxy:
+    """Module-level `settings` / `tts_config` objects that defer env reading
+    to first attribute access (the reference instantiates at import time,
+    which crashes without API_KEY; we keep the same names importable)."""
+
+    def __init__(self, factory):
+        object.__setattr__(self, "_factory", factory)
+
+    def __getattr__(self, item):
+        return getattr(object.__getattribute__(self, "_factory")(), item)
+
+
+settings = _LazyProxy(get_settings)
+tts_config = _LazyProxy(get_tts_config)

@@ -1,0 +1,29 @@
+"""Test configuration.
+
+Forces JAX onto the CPU backend with 8 virtual devices so multi-chip sharding
+logic is exercised without TPU hardware (mirrors the driver's
+dryrun_multichip environment). Must run before any jax import.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture
+def tmp_voice_dirs(tmp_path, monkeypatch):
+    voices = tmp_path / "voices"
+    preloaded = tmp_path / "preloaded-voices"
+    voices.mkdir()
+    preloaded.mkdir()
+    return str(voices), str(preloaded)

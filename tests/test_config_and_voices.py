@@ -1,0 +1,74 @@
+"""Config precedence and voice store tests."""
+import pytest
+
+from chatterbox_tpu.config import AppConfig, TTSConfig
+from chatterbox_tpu.serve.voice_manager import VoiceManager
+
+
+def test_app_config_defaults():
+    cfg = AppConfig()
+    assert cfg.HOST == "0.0.0.0"
+    assert cfg.PORT == 8000
+    assert cfg.CORS_ORIGINS == ["*"]
+    assert cfg.CONCURRENT_REQUESTS_PER_WORKER == 1
+
+
+def test_app_config_env_override(monkeypatch):
+    monkeypatch.setenv("PORT", "9001")
+    monkeypatch.setenv("DEBUG", "true")
+    monkeypatch.setenv("CORS_ORIGINS", '["http://a", "http://b"]')
+    cfg = AppConfig.from_env()
+    assert cfg.PORT == 9001
+    assert cfg.DEBUG is True
+    assert cfg.CORS_ORIGINS == ["http://a", "http://b"]
+
+
+def test_tts_config_defaults_match_reference():
+    cfg = TTSConfig()
+    assert cfg.VOICE_EXAGGERATION_FACTOR == 0.5
+    assert cfg.CFG_GUIDANCE_WEIGHT == 0.5
+    assert cfg.SYNTHESIS_TEMPERATURE == 0.8
+    assert cfg.TEXT_PROCESSING_CHUNK_SIZE == 150
+    assert cfg.AUDIO_TOKENS_PER_SLICE == 35
+    assert cfg.CHUNK_OVERLAP_STRATEGY == "full"
+    assert cfg.CROSSFADE_DURATION_MILLISECONDS == 30
+    assert cfg.SPEECH_TOKEN_QUEUE_MAX_SIZE == 2
+    assert cfg.PCM_CHUNK_QUEUE_MAX_SIZE == 3
+
+
+def test_tts_config_env_prefix(monkeypatch):
+    monkeypatch.setenv("TTS_SYNTHESIS_TEMPERATURE", "0.3")
+    cfg = TTSConfig.from_env()
+    assert cfg.SYNTHESIS_TEMPERATURE == 0.3
+
+
+def test_voice_manager_priority_and_crud(tmp_voice_dirs):
+    voices, preloaded = tmp_voice_dirs
+    vm = VoiceManager(voices, preloaded)
+    assert vm.list_voices() == []
+
+    # preloaded voice
+    (vm.preloaded_voices_dir / "alice.wav").write_bytes(b"pre")
+    assert vm.list_voices() == ["alice.wav"]
+    assert vm.get_voice_path("alice.wav").startswith(preloaded)
+
+    # user voice shadows preloaded
+    with pytest.raises(FileExistsError):
+        vm.save_voice("alice.wav", b"dup")
+    vm.save_voice("bob.wav", b"user")
+    assert vm.list_voices() == ["alice.wav", "bob.wav"]
+    assert vm.get_voice_path("bob.wav").startswith(voices)
+
+    # delete: preloaded voices are not deletable
+    with pytest.raises(FileNotFoundError):
+        vm.delete_voice("alice.wav")
+    vm.delete_voice("bob.wav")
+    assert vm.list_voices() == ["alice.wav"]
+
+
+def test_voice_manager_rejects_traversal(tmp_voice_dirs):
+    voices, preloaded = tmp_voice_dirs
+    vm = VoiceManager(voices, preloaded)
+    assert vm.get_voice_path("../etc/passwd") is None
+    with pytest.raises(ValueError):
+        vm.save_voice("../escape.wav", b"x")
