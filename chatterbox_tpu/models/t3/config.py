@@ -1,0 +1,77 @@
+"""T3 configuration.
+
+T3 is the autoregressive text→speech-token decoder: a llama-style transformer
+whose input sequence packs [voice conditioning | text tokens | speech tokens]
+and which emits 25 speech tokens per second of audio from a 6561-entry
+codebook. Hyperparameter surface follows the reference model as consumed by
+the serving stack (/root/reference/src/tts_streaming.py:283, 369, 423, 477 —
+start/stop text tokens, speech_cond_prompt_len, 1000-token cap) and the
+publicly known Chatterbox checkpoint shapes (SURVEY.md §2b: ~0.5B llama
+backbone, speech vocab 6561 + specials).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+
+
+@dataclass(frozen=True)
+class T3Config:
+    # Vocabularies / special tokens
+    text_vocab_size: int = 704
+    speech_vocab_size: int = 8194
+    start_text_token: int = 255
+    stop_text_token: int = 0
+    start_speech_token: int = 6561
+    stop_speech_token: int = 6562
+    num_speech_codes: int = 6561  # valid codebook entries (< this are real codes)
+
+    # Conditioning
+    speaker_embed_dim: int = 256
+    speech_cond_prompt_len: int = 150
+    use_perceiver_resampler: bool = True
+    perceiver_latents: int = 32
+    perceiver_heads: int = 4
+
+    # Backbone (Llama-style, ~520M at defaults)
+    hidden_size: int = 1024
+    num_layers: int = 30
+    num_heads: int = 16
+    num_kv_heads: int = 16
+    head_dim: int = 64
+    intermediate_size: int = 4096
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-5
+
+    # Sequence budget
+    max_text_tokens: int = 128   # bucket ceiling for one ≤150-char chunk
+    max_speech_tokens: int = 1024  # ≥ reference's 1000-token decode cap
+    learned_pos_emb: bool = True
+
+    @property
+    def cond_len(self) -> int:
+        prompt = self.perceiver_latents if self.use_perceiver_resampler else self.speech_cond_prompt_len
+        return 1 + prompt + 1  # [speaker] + prompt + [emotion]
+
+    @property
+    def max_seq_len(self) -> int:
+        return self.cond_len + self.max_text_tokens + 1 + self.max_speech_tokens
+
+    @staticmethod
+    def tiny() -> "T3Config":
+        """Small config for CPU tests: same token semantics, tiny backbone."""
+        return T3Config(
+            hidden_size=64,
+            num_layers=2,
+            num_heads=4,
+            num_kv_heads=4,
+            head_dim=16,
+            intermediate_size=128,
+            speech_cond_prompt_len=6,
+            perceiver_latents=4,
+            perceiver_heads=2,
+            max_text_tokens=32,
+            max_speech_tokens=64,
+        )
+
+    def with_(self, **kw) -> "T3Config":
+        return replace(self, **kw)

@@ -1,0 +1,449 @@
+"""T3: llama-style autoregressive text→speech-token decoder, TPU-native.
+
+Design notes (vs the reference's torch implementation, SURVEY.md §2b):
+
+* The backbone is a stack-scanned llama decoder: per-layer weights are stored
+  stacked along a leading layer axis and iterated with ``lax.scan`` so XLA
+  compiles ONE layer body instead of 30 — fast compiles, identical runtime.
+* Decode uses a static-shape KV cache [L, B, S_max, H, Dh]. A decode *slice*
+  of N steps runs as one jitted ``lax.scan`` with on-device sampling
+  (temperature / top-p / repetition penalty / CFG) so the host sees one
+  dispatch per ~N tokens instead of one per token — the property that makes
+  sub-300 ms time-to-first-audio possible on TPU (per-step host round trips
+  are the #1 TTFA killer, SURVEY.md §7 hard part (a)).
+* Classifier-free guidance always runs 2 lanes per request (cond / uncond);
+  logits combine as ``cond + w·(cond − uncond)`` with per-request weight w.
+  w=0 degenerates exactly to the cond lane, so one compiled graph serves all
+  guidance settings (the reference instead changes batch shape per request,
+  /root/reference/src/tts_streaming.py:475-476).
+* Rows are LEFT-padded inside a static text bucket: [pad | cond | text],
+  keeping valid tokens contiguous so rotary positions need no per-row gaps.
+
+Sequence layout per row:  [pad | cond(C) | text(≤T) ]  → prefill cache
+then speech tokens (BOS first) are decoded one-by-one into the cache.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.nn import (
+    NEG_INF,
+    apply_rope,
+    causal_attention,
+    linear,
+    rms_norm,
+    rope_frequencies,
+    swiglu,
+)
+from ...ops.sampling import apply_repetition_penalty, sample_token  # noqa: F401 (re-exported ops)
+from .config import T3Config
+
+Params = Dict
+
+
+# ------------------------------------------------------------------ init
+def _dense(key, shape, dtype, scale=None):
+    fan_in = shape[-2] if len(shape) >= 2 else shape[-1]
+    scale = scale or 1.0 / math.sqrt(fan_in)
+    return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+
+def init_t3_params(key: jax.Array, cfg: T3Config, dtype=jnp.float32) -> Params:
+    D, L = cfg.hidden_size, cfg.num_layers
+    Hq, Hk, Dh, F = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, cfg.intermediate_size
+    ks = iter(jax.random.split(key, 64))
+
+    def dense(shape, scale=None):
+        return _dense(next(ks), shape, dtype, scale)
+
+    params: Params = {
+        "text_emb": dense((cfg.text_vocab_size, D), 0.02),
+        "speech_emb": dense((cfg.speech_vocab_size, D), 0.02),
+        "text_pos": dense((cfg.max_text_tokens + 2, D), 0.02),
+        "speech_pos": dense((cfg.max_speech_tokens + 2, D), 0.02),
+        "speech_head": {"w": dense((D, cfg.speech_vocab_size)), "b": jnp.zeros((cfg.speech_vocab_size,), dtype)},
+        "text_head": {"w": dense((D, cfg.text_vocab_size)), "b": jnp.zeros((cfg.text_vocab_size,), dtype)},
+        "cond": {
+            "spkr": {"w": dense((cfg.speaker_embed_dim, D)), "b": jnp.zeros((D,), dtype)},
+            "emotion": {"w": dense((1, D)), "b": jnp.zeros((D,), dtype)},
+        },
+        "backbone": {
+            "layers": {
+                "attn_norm": jnp.ones((L, D), dtype),
+                "mlp_norm": jnp.ones((L, D), dtype),
+                "wq": dense((L, D, Hq * Dh)),
+                "wk": dense((L, D, Hk * Dh)),
+                "wv": dense((L, D, Hk * Dh)),
+                "wo": dense((L, Hq * Dh, D)),
+                "w_gate": dense((L, D, F)),
+                "w_up": dense((L, D, F)),
+                "w_down": dense((L, F, D)),
+            },
+            "final_norm": jnp.ones((D,), dtype),
+        },
+    }
+    if cfg.use_perceiver_resampler:
+        N = cfg.perceiver_latents
+        params["cond"]["perceiver"] = {
+            "latents": dense((N, D), 0.02),
+            "cross": {
+                "norm_q": jnp.ones((D,), dtype),
+                "norm_kv": jnp.ones((D,), dtype),
+                "wq": dense((D, D)),
+                "wk": dense((D, D)),
+                "wv": dense((D, D)),
+                "wo": dense((D, D)),
+            },
+            "self": {
+                "norm": jnp.ones((D,), dtype),
+                "wq": dense((D, D)),
+                "wk": dense((D, D)),
+                "wv": dense((D, D)),
+                "wo": dense((D, D)),
+            },
+            "mlp": {
+                "norm": jnp.ones((D,), dtype),
+                "w1": dense((D, 4 * D)),
+                "w2": dense((4 * D, D)),
+            },
+        }
+    return params
+
+
+# ---------------------------------------------------------------- conditioning
+def _mha(x_q, x_kv, p, heads: int):
+    """Simple bidirectional multi-head attention used by the perceiver."""
+    B, Sq, D = x_q.shape
+    Dh = D // heads
+    q = linear(x_q, p["wq"]).reshape(B, Sq, heads, Dh)
+    k = linear(x_kv, p["wk"]).reshape(B, -1, heads, Dh)
+    v = linear(x_kv, p["wv"]).reshape(B, -1, heads, Dh)
+    full = jnp.ones((B, 1, Sq, k.shape[1]), dtype=bool)
+    o = causal_attention(q, k, v, mask=full)
+    return linear(o.reshape(B, Sq, D), p["wo"])
+
+
+def perceiver_resample(p: Params, cfg: T3Config, prompt_emb: jnp.ndarray) -> jnp.ndarray:
+    """Compress [B, P, D] prompt embeddings to [B, N, D] latents."""
+    B = prompt_emb.shape[0]
+    lat = jnp.broadcast_to(p["latents"][None], (B,) + p["latents"].shape).astype(prompt_emb.dtype)
+    # cross-attention: latents attend to the prompt
+    lat = lat + _mha(
+        rms_norm(lat, p["cross"]["norm_q"]),
+        rms_norm(prompt_emb, p["cross"]["norm_kv"]),
+        p["cross"],
+        cfg.perceiver_heads,
+    )
+    # self-attention among latents
+    x = rms_norm(lat, p["self"]["norm"])
+    lat = lat + _mha(x, x, p["self"], cfg.perceiver_heads)
+    # mlp
+    x = rms_norm(lat, p["mlp"]["norm"])
+    lat = lat + linear(jax.nn.gelu(linear(x, p["mlp"]["w1"])), p["mlp"]["w2"])
+    return lat
+
+
+def cond_embeddings(
+    params: Params,
+    cfg: T3Config,
+    speaker_emb: jnp.ndarray,     # [B, speaker_embed_dim]
+    prompt_tokens: jnp.ndarray,   # [B, speech_cond_prompt_len] int32
+    emotion_adv: jnp.ndarray,     # [B] exaggeration scalar
+) -> jnp.ndarray:
+    """Build the conditioning prefix [B, C, D]:
+    [speaker] + prompt speech tokens (perceiver-resampled) + [emotion]."""
+    c = params["cond"]
+    spk = linear(speaker_emb, c["spkr"]["w"], c["spkr"]["b"])[:, None, :]
+    prompt = params["speech_emb"][prompt_tokens]
+    if cfg.use_perceiver_resampler:
+        prompt = perceiver_resample(c["perceiver"], cfg, prompt)
+    emo = linear(emotion_adv[:, None], c["emotion"]["w"], c["emotion"]["b"])[:, None, :]
+    return jnp.concatenate([spk, prompt, emo], axis=1)
+
+
+# ---------------------------------------------------------------- backbone
+def _split_heads(x, heads, Dh):
+    B, S, _ = x.shape
+    return x.reshape(B, S, heads, Dh)
+
+
+def _maybe_repeat_kv(k, cfg: T3Config):
+    if cfg.num_kv_heads == cfg.num_heads:
+        return k
+    return jnp.repeat(k, cfg.num_heads // cfg.num_kv_heads, axis=2)
+
+
+def _backbone_prefill(params: Params, cfg: T3Config, h: jnp.ndarray, valid: jnp.ndarray):
+    """Run all layers over a full [B, S, D] sequence.
+
+    valid: [B, S] bool, False on pad rows. Returns (hidden, k_all, v_all) with
+    k_all/v_all stacked [L, B, S, Hk, Dh].
+    """
+    B, S, D = h.shape
+    Dh = cfg.head_dim
+    cos, sin = rope_frequencies(Dh, cfg.max_seq_len, cfg.rope_theta)
+    positions = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
+    causal = jnp.tril(jnp.ones((S, S), dtype=bool))
+    mask = causal[None, None] & valid[:, None, None, :]  # [B,1,S,S]
+
+    def layer(h, lp):
+        x = rms_norm(h, lp["attn_norm"], cfg.rms_eps)
+        q = apply_rope(_split_heads(linear(x, lp["wq"]), cfg.num_heads, Dh), cos, sin, positions)
+        k = apply_rope(_split_heads(linear(x, lp["wk"]), cfg.num_kv_heads, Dh), cos, sin, positions)
+        v = _split_heads(linear(x, lp["wv"]), cfg.num_kv_heads, Dh)
+        o = causal_attention(q, _maybe_repeat_kv(k, cfg), _maybe_repeat_kv(v, cfg), mask)
+        h = h + linear(o.reshape(B, S, -1), lp["wo"])
+        x = rms_norm(h, lp["mlp_norm"], cfg.rms_eps)
+        h = h + swiglu(x, lp["w_gate"], lp["w_up"], lp["w_down"])
+        return h, (k, v)
+
+    h, (k_all, v_all) = jax.lax.scan(layer, h, params["backbone"]["layers"])
+    h = rms_norm(h, params["backbone"]["final_norm"], cfg.rms_eps)
+    return h, k_all, v_all
+
+
+def _backbone_decode_step(
+    params: Params,
+    cfg: T3Config,
+    h: jnp.ndarray,          # [B, 1, D]
+    k_cache: jnp.ndarray,    # [L, B, S, Hk, Dh]
+    v_cache: jnp.ndarray,
+    start: jnp.ndarray,      # [B] first valid cache index (left-pad offset)
+    pos: jnp.ndarray,        # [B] current write position
+):
+    """One decode step for all layers. Returns (hidden, k_new, v_new) where
+    k_new/v_new are [L, B, 1, Hk, Dh] to be written into the cache at pos."""
+    B = h.shape[0]
+    Dh = cfg.head_dim
+    S = k_cache.shape[2]
+    cos, sin = rope_frequencies(Dh, cfg.max_seq_len, cfg.rope_theta)
+    positions = pos[:, None]  # [B, 1]
+    idx = jnp.arange(S)[None, None, None, :]
+    cache_valid = (idx >= start[:, None, None, None]) & (idx < pos[:, None, None, None])
+    scale = 1.0 / math.sqrt(Dh)
+
+    def layer(h, xs):
+        lp, kc, vc = xs
+        x = rms_norm(h, lp["attn_norm"], cfg.rms_eps)
+        q = apply_rope(_split_heads(linear(x, lp["wq"]), cfg.num_heads, Dh), cos, sin, positions)
+        k = apply_rope(_split_heads(linear(x, lp["wk"]), cfg.num_kv_heads, Dh), cos, sin, positions)
+        v = _split_heads(linear(x, lp["wv"]), cfg.num_kv_heads, Dh)
+        kr, vr = _maybe_repeat_kv(k, cfg), _maybe_repeat_kv(v, cfg)
+        kcr, vcr = _maybe_repeat_kv(kc, cfg), _maybe_repeat_kv(vc, cfg)
+        # scores against the cache plus the current token itself
+        s_cache = jnp.einsum("bqhd,bkhd->bhqk", q, kcr, preferred_element_type=jnp.float32) * scale
+        s_cache = jnp.where(cache_valid, s_cache, NEG_INF)
+        s_self = jnp.einsum("bqhd,bqhd->bhq", q, kr, preferred_element_type=jnp.float32)[..., None] * scale
+        probs = jax.nn.softmax(jnp.concatenate([s_cache, s_self], axis=-1), axis=-1)
+        o = (
+            jnp.einsum("bhqk,bkhd->bqhd", probs[..., :S].astype(vcr.dtype), vcr, preferred_element_type=jnp.float32)
+            + probs[..., S:].transpose(0, 2, 1, 3).astype(jnp.float32)
+            * vr.astype(jnp.float32)
+        ).astype(h.dtype)
+        h = h + linear(o.reshape(B, 1, -1), lp["wo"])
+        x = rms_norm(h, lp["mlp_norm"], cfg.rms_eps)
+        h = h + swiglu(x, lp["w_gate"], lp["w_up"], lp["w_down"])
+        return h, (k, v)
+
+    h, (k_new, v_new) = jax.lax.scan(
+        layer, h, (params["backbone"]["layers"], k_cache, v_cache)
+    )
+    h = rms_norm(h, params["backbone"]["final_norm"], cfg.rms_eps)
+    return h, k_new, v_new
+
+
+def _write_cache(cache_arr: jnp.ndarray, new: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """Write new [L, B, 1, Hk, Dh] into cache [L, B, S, Hk, Dh] at per-row pos [B]."""
+
+    def per_row(c, n, p):  # c: [L, S, Hk, Dh], n: [L, 1, Hk, Dh]
+        return jax.lax.dynamic_update_slice(c, n, (0, p, 0, 0))
+
+    return jax.vmap(per_row, in_axes=(1, 1, 0), out_axes=1)(cache_arr, new, pos)
+
+
+# ---------------------------------------------------------------- prefill
+def t3_prefill(
+    params: Params,
+    cfg: T3Config,
+    cond: jnp.ndarray,         # [B, C, D] conditioning prefix (per lane)
+    text_tokens: jnp.ndarray,  # [B, T_pad] int32, right-padded
+    text_len: jnp.ndarray,     # [B] valid lengths
+) -> Dict:
+    """Build the packed prefix, run the backbone once, return the KV cache.
+
+    The row is left-padded: [pad(T_pad-t_len) | cond | text]. Implemented as a
+    per-row gather from the right-packed layout so shapes stay static.
+    """
+    B, C = cond.shape[0], cond.shape[1]
+    T_pad = text_tokens.shape[1]
+    P = C + T_pad
+    D = cond.shape[2]
+
+    text_emb = params["text_emb"][text_tokens]
+    if cfg.learned_pos_emb:
+        text_emb = text_emb + params["text_pos"][jnp.arange(T_pad)][None]
+    packed = jnp.concatenate([cond, text_emb], axis=1)  # [B, P, D]
+
+    pad = (T_pad - text_len).astype(jnp.int32)  # [B]
+    j = jnp.arange(P)[None, :]                  # output index
+    src = j - pad[:, None]                      # content index; <0 → pad region
+    src = jnp.clip(src, 0, P - 1)
+    h = jnp.take_along_axis(packed, src[:, :, None], axis=1)
+    valid = jnp.arange(P)[None, :] >= pad[:, None]
+    h = jnp.where(valid[:, :, None], h, 0.0)
+
+    hidden, k_all, v_all = _backbone_prefill(params, cfg, h, valid)
+
+    # Grow cache to the full decode budget.
+    S_max = P + 1 + cfg.max_speech_tokens
+    padw = ((0, 0), (0, 0), (0, S_max - P), (0, 0), (0, 0))
+    return {
+        "k": jnp.pad(k_all, padw),
+        "v": jnp.pad(v_all, padw),
+        "start": pad,
+        "pos": jnp.full((B,), P, jnp.int32),
+    }
+
+
+# ---------------------------------------------------------------- decode
+def make_decode_state(
+    rng: jax.Array,
+    cfg: T3Config,
+    num_requests: int,
+    temperature,
+    top_p,
+    cfg_weight,
+    rep_penalty,
+) -> Dict:
+    R = num_requests
+    as_vec = lambda x: jnp.broadcast_to(jnp.asarray(x, jnp.float32), (R,))
+    return {
+        "last_token": jnp.full((R,), cfg.start_speech_token, jnp.int32),
+        "step": jnp.zeros((R,), jnp.int32),
+        "done": jnp.zeros((R,), bool),
+        "token_counts": jnp.zeros((R, cfg.speech_vocab_size), jnp.int32),
+        "rng": rng,
+        "temperature": as_vec(temperature),
+        "top_p": as_vec(top_p),
+        "cfg_weight": as_vec(cfg_weight),
+        "rep_penalty": as_vec(rep_penalty),
+    }
+
+
+def _invalid_token_mask(cfg: T3Config) -> jnp.ndarray:
+    """Logit mask forbidding non-code, non-stop ids (BOS, unused specials)."""
+    ids = jnp.arange(cfg.speech_vocab_size)
+    allowed = (ids < cfg.num_speech_codes) | (ids == cfg.stop_speech_token)
+    return jnp.where(allowed, 0.0, NEG_INF)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps"), donate_argnames=("cache", "state"))
+def t3_decode_slice(
+    params: Params,
+    cfg: T3Config,
+    cache: Dict,
+    state: Dict,
+    n_steps: int,
+) -> Tuple[jnp.ndarray, Dict, Dict]:
+    """Generate `n_steps` speech tokens in one on-device scan.
+
+    Returns (tokens [R, n_steps] int32, cache, state). Requests that hit EOS
+    keep emitting stop_speech_token; the host trims them. Lanes are laid out
+    [r0-cond, r0-uncond, r1-cond, ...] (2 lanes per request for CFG).
+    """
+    R = state["last_token"].shape[0]
+    token_mask = _invalid_token_mask(cfg)
+
+    def step(carry, _):
+        cache, state = carry
+        tok_lanes = jnp.repeat(state["last_token"], 2)         # [B]
+        step_lanes = jnp.repeat(state["step"], 2)
+        h = params["speech_emb"][tok_lanes][:, None, :]
+        if cfg.learned_pos_emb:
+            h = h + params["speech_pos"][step_lanes][:, None, :]
+        hidden, k_new, v_new = _backbone_decode_step(
+            params, cfg, h, cache["k"], cache["v"], cache["start"], cache["pos"]
+        )
+        cache = {
+            "k": _write_cache(cache["k"], k_new, cache["pos"]),
+            "v": _write_cache(cache["v"], v_new, cache["pos"]),
+            "start": cache["start"],
+            "pos": cache["pos"] + 1,
+        }
+        logits = linear(
+            hidden[:, 0], params["speech_head"]["w"], params["speech_head"]["b"]
+        ).astype(jnp.float32)
+        pair = logits.reshape(R, 2, -1)
+        w = state["cfg_weight"][:, None]
+        guided = pair[:, 0] + w * (pair[:, 0] - pair[:, 1])
+        guided = guided + token_mask[None]
+        # per-request repetition penalty (vectorized over R)
+        seen = state["token_counts"] > 0
+        rp = state["rep_penalty"][:, None]
+        guided = jnp.where(
+            seen, jnp.where(guided > 0, guided / rp, guided * rp), guided
+        )
+        key, sub = jax.random.split(state["rng"])
+        filtered = guided / jnp.maximum(state["temperature"][:, None], 1e-4)
+        # top-p per request (top_p is a traced vector → inline nucleus filter)
+        sorted_logits = jnp.sort(filtered, axis=-1)[:, ::-1]
+        sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum_before = jnp.cumsum(sorted_probs, axis=-1) - sorted_probs
+        keep = cum_before < state["top_p"][:, None]
+        thresh = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True)
+        filtered = jnp.where(filtered >= thresh, filtered, NEG_INF)
+        sampled = jax.random.categorical(sub, filtered, axis=-1)
+        greedy = jnp.argmax(guided, axis=-1)
+        token = jnp.where(state["temperature"] <= 0.0, greedy, sampled).astype(jnp.int32)
+        token = jnp.where(state["done"], cfg.stop_speech_token, token)
+        done = state["done"] | (token == cfg.stop_speech_token)
+        counts = state["token_counts"].at[jnp.arange(R), token].add(1)
+        state = {
+            **state,
+            "last_token": token,
+            "step": state["step"] + 1,
+            "done": done,
+            "token_counts": counts,
+            "rng": key,
+        }
+        return (cache, state), token
+
+    (cache, state), tokens = jax.lax.scan(step, (cache, state), None, length=n_steps)
+    return tokens.T, cache, state  # [R, n_steps]
+
+
+# ---------------------------------------------------------------- training
+def t3_forward_train(
+    params: Params,
+    cfg: T3Config,
+    cond: jnp.ndarray,           # [B, C, D]
+    text_tokens: jnp.ndarray,    # [B, T]
+    speech_tokens: jnp.ndarray,  # [B, S] target speech tokens (BOS-shifted inputs)
+) -> jnp.ndarray:
+    """Teacher-forced forward pass → speech logits [B, S, V_speech].
+
+    Input sequence: [cond | text | BOS, speech[:-1]]; logits are read at the
+    speech positions. Used by the training step and multi-chip shard checks.
+    """
+    B, T = text_tokens.shape
+    S = speech_tokens.shape[1]
+    text_emb = params["text_emb"][text_tokens]
+    if cfg.learned_pos_emb:
+        text_emb = text_emb + params["text_pos"][jnp.arange(T)][None]
+    bos = jnp.full((B, 1), cfg.start_speech_token, jnp.int32)
+    speech_in = jnp.concatenate([bos, speech_tokens[:, :-1]], axis=1)
+    speech_emb = params["speech_emb"][speech_in]
+    if cfg.learned_pos_emb:
+        speech_emb = speech_emb + params["speech_pos"][jnp.arange(S)][None]
+    h = jnp.concatenate([cond, text_emb, speech_emb], axis=1)
+    valid = jnp.ones(h.shape[:2], dtype=bool)
+    hidden, _, _ = _backbone_prefill(params, cfg, h, valid)
+    speech_hidden = hidden[:, cond.shape[1] + T :]
+    return linear(
+        speech_hidden, params["speech_head"]["w"], params["speech_head"]["b"]
+    ).astype(jnp.float32)

