@@ -1,0 +1,139 @@
+"""Conditional flow matching mel decoder (DiT estimator + Euler ODE).
+
+Generates the 80-bin mel track from the encoder features `mu`, a speaker
+x-vector and the prompt mel. The ODE runs its fixed Euler steps inside one
+``lax.scan`` so the whole chunk — encoder, all CFM steps and the vocoder —
+compiles into a single XLA graph (the reference instead launches a UNet per
+step under torch; SURVEY.md §2b flagged the CFM as HOT LOOP 2).
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.nn import causal_attention, layer_norm, linear
+from .config import S3GenConfig
+
+
+def _dense(key, shape, dtype, scale=None):
+    fan_in = shape[-2] if len(shape) >= 2 else shape[-1]
+    scale = scale or 1.0 / math.sqrt(fan_in)
+    return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+
+def init_flow_params(key: jax.Array, cfg: S3GenConfig, dtype=jnp.float32) -> Dict:
+    D, L, F = cfg.dit_dim, cfg.dit_layers, cfg.dit_ffn
+    M = cfg.n_mels
+    ks = iter(jax.random.split(key, 24))
+    dense = lambda shape, scale=None: _dense(next(ks), shape, dtype, scale)
+    return {
+        "in_proj": {"w": dense((3 * M + 1, D)), "b": jnp.zeros((D,), dtype)},
+        "time_mlp": {
+            "w1": dense((256, D)), "b1": jnp.zeros((D,), dtype),
+            "w2": dense((D, D)), "b2": jnp.zeros((D,), dtype),
+        },
+        "spk_proj": {"w": dense((cfg.spk_dim, D)), "b": jnp.zeros((D,), dtype)},
+        "layers": {
+            "norm1_w": jnp.ones((L, D), dtype), "norm1_b": jnp.zeros((L, D), dtype),
+            "norm2_w": jnp.ones((L, D), dtype), "norm2_b": jnp.zeros((L, D), dtype),
+            # AdaLN-zero modulation: 6 gates per layer from the time embedding
+            "ada_w": jnp.zeros((L, D, 6 * D), dtype),
+            "ada_b": jnp.zeros((L, 6 * D), dtype),
+            "wq": dense((L, D, D)), "wk": dense((L, D, D)),
+            "wv": dense((L, D, D)), "wo": dense((L, D, D)),
+            "w1": dense((L, D, F)), "w2": dense((L, F, D)),
+        },
+        "out_norm_w": jnp.ones((D,), dtype),
+        "out_norm_b": jnp.zeros((D,), dtype),
+        "out_proj": {"w": jnp.zeros((D, M), dtype), "b": jnp.zeros((M,), dtype)},
+    }
+
+
+def _time_embedding(t: jnp.ndarray, dim: int = 256) -> jnp.ndarray:
+    """Sinusoidal embedding of scalar ODE time t ∈ [0,1] → [B, dim]."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t[:, None] * freqs[None, :] * 1000.0
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+def estimator(
+    params: Dict,
+    cfg: S3GenConfig,
+    x_t: jnp.ndarray,        # [B, T, M] current noisy mel
+    mu: jnp.ndarray,         # [B, T, M] encoder features
+    cond_mel: jnp.ndarray,   # [B, T, M] prompt mel (zeros outside prompt)
+    prompt_flag: jnp.ndarray,  # [B, T, 1] 1.0 on prompt frames
+    spk: jnp.ndarray,        # [B, spk_dim]
+    t: jnp.ndarray,          # [B] ODE time
+    valid: jnp.ndarray,      # [B, T] frame validity
+) -> jnp.ndarray:
+    """Predict the flow vector field v(x_t, t) → [B, T, M]."""
+    B, T, M = x_t.shape
+    D = cfg.dit_dim
+    Dh = D // cfg.dit_heads
+
+    h = linear(
+        jnp.concatenate([x_t, mu, cond_mel, prompt_flag], axis=-1),
+        params["in_proj"]["w"],
+        params["in_proj"]["b"],
+    )
+    te = _time_embedding(t)
+    c = jax.nn.silu(linear(te, params["time_mlp"]["w1"], params["time_mlp"]["b1"]))
+    c = linear(c, params["time_mlp"]["w2"], params["time_mlp"]["b2"])
+    c = c + linear(spk, params["spk_proj"]["w"], params["spk_proj"]["b"])
+    c = jax.nn.silu(c)  # [B, D]
+
+    mask = (valid[:, None, :, None] & valid[:, None, None, :]).transpose(0, 1, 3, 2)
+
+    def layer(h, lp):
+        ada = linear(c, lp["ada_w"], lp["ada_b"])  # [B, 6D]
+        shift1, scale1, gate1, shift2, scale2, gate2 = jnp.split(ada, 6, axis=-1)
+        x = layer_norm(h, lp["norm1_w"], lp["norm1_b"])
+        x = x * (1 + scale1[:, None]) + shift1[:, None]
+        q = linear(x, lp["wq"]).reshape(B, T, cfg.dit_heads, Dh)
+        k = linear(x, lp["wk"]).reshape(B, T, cfg.dit_heads, Dh)
+        v = linear(x, lp["wv"]).reshape(B, T, cfg.dit_heads, Dh)
+        o = causal_attention(q, k, v, mask)  # bidirectional
+        h = h + gate1[:, None] * linear(o.reshape(B, T, D), lp["wo"])
+        x = layer_norm(h, lp["norm2_w"], lp["norm2_b"])
+        x = x * (1 + scale2[:, None]) + shift2[:, None]
+        h = h + gate2[:, None] * linear(jax.nn.gelu(linear(x, lp["w1"])), lp["w2"])
+        return h, None
+
+    h, _ = jax.lax.scan(layer, h, params["layers"])
+    h = layer_norm(h, params["out_norm_w"], params["out_norm_b"])
+    return linear(h, params["out_proj"]["w"], params["out_proj"]["b"]).astype(jnp.float32)
+
+
+def cfm_generate(
+    params: Dict,
+    cfg: S3GenConfig,
+    key: jax.Array,
+    mu: jnp.ndarray,          # [B, T, M]
+    cond_mel: jnp.ndarray,    # [B, T, M]
+    prompt_flag: jnp.ndarray, # [B, T, 1]
+    spk: jnp.ndarray,         # [B, spk_dim]
+    valid: jnp.ndarray,       # [B, T]
+) -> jnp.ndarray:
+    """Euler-integrate the flow ODE from noise to mel. [B, T, M]."""
+    B, T, M = mu.shape
+    x = jax.random.normal(key, (B, T, M), jnp.float32)
+    # cosine time schedule: finer steps near t=0 where the flow bends most
+    i = jnp.arange(cfg.cfm_steps + 1, dtype=jnp.float32) / cfg.cfm_steps
+    ts = 1.0 - jnp.cos(i * math.pi / 2.0)
+    dts = ts[1:] - ts[:-1]
+
+    def euler_step(x, step):
+        t_now, dt = step
+        v = estimator(
+            params, cfg, x, mu, cond_mel, prompt_flag,
+            spk, jnp.full((B,), t_now), valid,
+        )
+        return x + dt * v, None
+
+    x, _ = jax.lax.scan(euler_step, x, (ts[:-1], dts))
+    return x

@@ -61,6 +61,7 @@ class T3Config:
         """Small config for CPU tests: same token semantics, tiny backbone."""
         return T3Config(
             hidden_size=64,
+            speaker_embed_dim=32,  # matches VoiceEncoderConfig.tiny().embed_dim
             num_layers=2,
             num_heads=4,
             num_kv_heads=4,

@@ -1,0 +1,611 @@
+"""TTSEngine: the streaming synthesis pipeline.
+
+Replaces the reference's per-GPU worker engine
+(/root/reference/src/tts_streaming.py — TextToSpeechEngine) with a TPU-native
+design (SURVEY.md §7):
+
+* models live HBM-resident in ONE process; no ZMQ/pickle hop;
+* the T3 producer calls a jitted decode-slice graph (N tokens per host
+  dispatch, on-device sampling) instead of a per-token generator;
+* each S3Gen chunk (encoder + CFM Euler scan + vocoder) is a single jitted
+  graph, bucketed by accumulated token count to bound recompiles;
+* stage overlap comes from asyncio tasks joined by bounded queues — the JAX
+  dispatch queue plays the role the reference gives CUDA streams;
+* crossfade/trim/PCM stay on host (numpy; the arrays are ≤ seconds of audio).
+
+The public surface mirrors the reference engine: ``ainit``, ``stream``,
+``prepare_conditionals``, ``clear_voice_cache``, ``get_initialization_status``,
+``shutdown`` (tts_streaming.py:198-355, 815-968).
+"""
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+import math
+import os
+import time
+from enum import Enum
+from pathlib import Path
+from typing import AsyncGenerator, Dict, Literal, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..audio.crossfade import CrossfadeStitcher, trim_leading, trim_trailing
+from ..audio.encoding import AudioEncoder
+from ..audio.pcm import float_to_pcm16, read_wav, resample
+from ..config import get_settings, get_tts_config
+from ..logging_config import log
+from ..models.s3gen import S3GenConfig, init_s3gen_params, s3gen_embed_ref, s3gen_inference
+from ..models.s3tok import S3TokConfig, init_s3tok_params, s3tok_tokenize
+from ..models.t3 import (
+    T3Config,
+    cond_embeddings,
+    init_t3_params,
+    make_decode_state,
+    t3_decode_slice,
+    t3_prefill,
+)
+from ..models.tokenizer import TextTokenizer
+from ..models.voice_encoder import VoiceEncoderConfig, init_voice_encoder_params, voice_embed
+from ..ops.spectral import log_mel_spectrogram
+from ..serve.voice_manager import VoiceManager
+from ..text import split_text_into_chunks
+from .cancellation import CancellationToken, race_cancellation
+
+S3_SR = 16000
+S3GEN_SR = 24000
+
+
+class InitializationState(Enum):
+    NOT_STARTED = "not_started"
+    INITIALIZING = "initializing"
+    READY = "ready"
+    ERROR = "error"
+
+
+@dataclasses.dataclass
+class Conditionals:
+    """Voice conditioning: T3 lanes + S3Gen ref dict (HBM-resident, cached
+    per voice_id — reference Conditionals, tts_streaming.py:106-118)."""
+
+    t3_cond_lanes: jnp.ndarray  # [2, C, D]: (cond, uncond) prefix embeddings
+    gen_ref: Dict               # s3gen ref dict
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    t3: T3Config
+    s3gen: S3GenConfig
+    s3tok: S3TokConfig
+    ve: VoiceEncoderConfig
+    text_bucket: int = 16       # pad text token counts to multiples of this
+    max_new_tokens: int = 1000  # reference decode cap (tts_streaming.py:423)
+    param_dtype: str = "float32"
+
+    @staticmethod
+    def tiny() -> "EngineConfig":
+        return EngineConfig(
+            t3=T3Config.tiny(),
+            s3gen=S3GenConfig.tiny(),
+            s3tok=S3TokConfig.tiny(),
+            ve=VoiceEncoderConfig.tiny(),
+            text_bucket=8,
+            max_new_tokens=64,
+        )
+
+    @staticmethod
+    def full(param_dtype: str = "bfloat16") -> "EngineConfig":
+        return EngineConfig(
+            t3=T3Config(),
+            s3gen=S3GenConfig(),
+            s3tok=S3TokConfig(),
+            ve=VoiceEncoderConfig(),
+            param_dtype=param_dtype,
+        )
+
+
+def _bucket(n: int, step: int, cap: int) -> int:
+    return min(cap, max(step, int(math.ceil(n / step)) * step))
+
+
+def _token_bucket_sizes(slice_size: int, cap: int):
+    """Doubling buckets for the accumulated-token axis: s, 2s, 4s, ... cap."""
+    sizes = []
+    s = slice_size
+    while s < cap:
+        sizes.append(s)
+        s *= 2
+    sizes.append(cap)
+    return sizes
+
+
+class TTSEngine:
+    ENC_COND_LEN = 6 * S3_SR       # tokenizer prompt budget (reference :167)
+    DEC_COND_LEN = 10 * S3GEN_SR   # embed_ref budget (reference :168)
+
+    def __init__(self, engine_cfg: Optional[EngineConfig] = None, seed: int = 0):
+        settings = get_settings()
+        if engine_cfg is None:
+            if os.environ.get("CHATTERBOX_TINY_MODEL"):
+                engine_cfg = EngineConfig.tiny()
+            else:
+                engine_cfg = EngineConfig.full(settings.DTYPE_POLICY)
+        self.cfg = engine_cfg
+        self.seed = seed
+        self.sr = engine_cfg.s3gen.sample_rate
+        self.voice_manager = VoiceManager()
+        self.voice_cache: Dict[str, Conditionals] = {}
+        self.params: Optional[Dict] = None
+        self.tokenizer: Optional[TextTokenizer] = None
+        self._state = InitializationState.NOT_STARTED
+        self._progress = ""
+        self._error: Optional[str] = None
+        self.tts_semaphore = asyncio.Semaphore(settings.CONCURRENT_REQUESTS_PER_WORKER)
+        self._jit_cache: Dict = {}
+
+    # ------------------------------------------------------------------ init
+    def get_initialization_status(self) -> dict:
+        return {"state": self._state.value, "progress": self._progress, "error": self._error}
+
+    def shutdown(self) -> None:
+        log.info("Engine shutdown: releasing device buffers.")
+        self.params = None
+        self.voice_cache.clear()
+        self._jit_cache.clear()
+
+    async def ainit(self) -> None:
+        try:
+            self._state = InitializationState.INITIALIZING
+            self._progress = "Initializing models..."
+            await asyncio.to_thread(self._init_models)
+            self._progress = "Warming up compiled graphs..."
+            await asyncio.to_thread(self._warmup)
+            self._state = InitializationState.READY
+            self._progress = "Model ready"
+            log.info("Engine ready on %s", jax.devices()[0])
+        except Exception as exc:  # pragma: no cover - defensive
+            self._state = InitializationState.ERROR
+            self._error = str(exc)
+            self._progress = f"Failed: {exc}"
+            log.exception("Engine initialization failed")
+            raise
+
+    def _init_models(self) -> None:
+        settings = get_settings()
+        dtype = jnp.bfloat16 if self.cfg.param_dtype == "bfloat16" else jnp.float32
+        key = jax.random.PRNGKey(self.seed)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        model_dir = Path(settings.MODEL_PATH)
+        loaded = None
+        if (model_dir / "t3_cfg.safetensors").exists():
+            from .loader import load_reference_checkpoint
+
+            self._progress = "Loading checkpoint..."
+            loaded = load_reference_checkpoint(model_dir, self.cfg, dtype)
+        if loaded is not None:
+            self.params = loaded
+        else:
+            log.info("No checkpoint found at %s — random-init weights", model_dir)
+            self.params = {
+                "t3": init_t3_params(k1, self.cfg.t3, dtype),
+                "s3gen": init_s3gen_params(k2, self.cfg.s3gen, dtype),
+                "s3tok": init_s3tok_params(k3, self.cfg.s3tok, dtype),
+                "ve": init_voice_encoder_params(k4, self.cfg.ve, dtype),
+            }
+        tok_file = model_dir / "tokenizer.json"
+        self.tokenizer = TextTokenizer(str(tok_file) if tok_file.exists() else None,
+                                       self.cfg.t3.text_vocab_size)
+
+    def _warmup(self) -> None:
+        """Compile the hot graphs up front (reference warms torch.compile the
+        same way, tts_streaming.py:274-326)."""
+        conds = self._default_conditionals()
+        tts_cfg = get_tts_config()
+        text = np.zeros((1, self.cfg.text_bucket), np.int32)
+        cache = self._jit_prefill()(
+            self.params["t3"], conds.t3_cond_lanes, jnp.asarray(np.repeat(text, 2, 0)),
+            jnp.full((2,), 4, jnp.int32),
+        )
+        state = make_decode_state(
+            jax.random.PRNGKey(0), self.cfg.t3, 1, 0.8, 0.95, 0.5, 1.2
+        )
+        slice_size = min(tts_cfg.AUDIO_TOKENS_PER_SLICE, self.cfg.max_new_tokens)
+        tokens, cache, state = t3_decode_slice(
+            self.params["t3"], self.cfg.t3, cache, state, slice_size
+        )
+        np.asarray(tokens)  # block
+        bucket = _token_bucket_sizes(slice_size, self.cfg.t3.max_speech_tokens)[0]
+        spt = self.cfg.s3gen.samples_per_token
+        self._jit_s3gen()(
+            self.params["s3gen"],
+            jnp.zeros((1, bucket), jnp.int32),
+            jnp.array([min(3, bucket)], jnp.int32),
+            conds.gen_ref,
+            jnp.zeros((1, bucket * spt), jnp.float32),
+            jnp.array([0], jnp.int32),
+            jax.random.PRNGKey(0),
+        )[0].block_until_ready()
+
+    # ------------------------------------------------------------- jit plumbing
+    def _jit_prefill(self):
+        if "prefill" not in self._jit_cache:
+            cfg = self.cfg.t3
+
+            def prefill(params, cond, text, text_len):
+                return t3_prefill(params, cfg, cond, text, text_len)
+
+            self._jit_cache["prefill"] = jax.jit(prefill)
+        return self._jit_cache["prefill"]
+
+    def _jit_s3gen(self):
+        if "s3gen" not in self._jit_cache:
+            cfg = self.cfg.s3gen
+
+            def infer(params, tokens, token_len, ref, src, cache_len, key):
+                return s3gen_inference(params, cfg, tokens, token_len, ref, src, cache_len, key)
+
+            self._jit_cache["s3gen"] = jax.jit(infer)
+        return self._jit_cache["s3gen"]
+
+    def _jit_cond(self):
+        if "cond" not in self._jit_cache:
+            t3c, s3c, vec, tokc = self.cfg.t3, self.cfg.s3gen, self.cfg.ve, self.cfg.s3tok
+
+            def build(params, wav24, wav16, wav16_len, exaggeration):
+                prompt_tokens, prompt_len = s3tok_tokenize(
+                    params["s3tok"], tokc, wav16, wav16_len
+                )
+                P = t3c.speech_cond_prompt_len
+                prompt_tokens = prompt_tokens[:, :P]
+                prompt_tokens = jnp.pad(
+                    prompt_tokens, ((0, 0), (0, P - prompt_tokens.shape[1]))
+                )
+                t3_prompt_len = jnp.minimum(prompt_len, P)
+                spk = voice_embed(params["ve"], vec, wav16)
+                cond = cond_embeddings(
+                    params["t3"], t3c, spk, prompt_tokens, exaggeration
+                )
+                uncond = cond_embeddings(
+                    params["t3"], t3c, jnp.zeros_like(spk), prompt_tokens, jnp.zeros_like(exaggeration)
+                )
+                lanes = jnp.concatenate([cond, uncond], axis=0)  # [2, C, D]
+                fbank = log_mel_spectrogram(wav16, 16000, 400, 160, 80)
+                ref = s3gen_embed_ref(
+                    params["s3gen"], s3c, wav24, fbank,
+                    prompt_tokens[:, : s3c.max_prompt_tokens],
+                    jnp.minimum(prompt_len, s3c.max_prompt_tokens),
+                )
+                return lanes, ref
+
+            self._jit_cache["cond"] = jax.jit(build)
+        return self._jit_cache["cond"]
+
+    # --------------------------------------------------------------- voices
+    def _default_conditionals(self) -> Conditionals:
+        if "default" not in self.voice_cache:
+            wav24 = jnp.zeros((1, 2 * S3GEN_SR))
+            wav16 = jnp.zeros((1, 2 * S3_SR))
+            lanes, ref = self._jit_cond()(
+                self.params, wav24, wav16, jnp.array([2 * S3_SR], jnp.int32),
+                jnp.array([get_tts_config().VOICE_EXAGGERATION_FACTOR], jnp.float32),
+            )
+            self.voice_cache["default"] = Conditionals(lanes, ref)
+        return self.voice_cache["default"]
+
+    def prepare_conditionals(self, wav_fpath: str) -> None:
+        """Compute and cache voice conditioning from a reference wav
+        (reference tts_streaming.py:357-384)."""
+        wav, sr = read_wav(wav_fpath)
+        wav24 = resample(wav, sr, S3GEN_SR)[: self.DEC_COND_LEN]
+        wav16 = resample(wav, sr, S3_SR)[: self.ENC_COND_LEN]
+        # static-size pads (one compiled graph for all voices)
+        w24 = np.zeros((1, self.DEC_COND_LEN), np.float32)
+        w24[0, : len(wav24)] = wav24
+        w16 = np.zeros((1, self.ENC_COND_LEN), np.float32)
+        w16[0, : len(wav16)] = wav16
+        lanes, ref = self._jit_cond()(
+            self.params, jnp.asarray(w24), jnp.asarray(w16),
+            jnp.array([len(wav16)], jnp.int32),
+            jnp.array([get_tts_config().VOICE_EXAGGERATION_FACTOR], jnp.float32),
+        )
+        voice_id = Path(wav_fpath).name
+        self.voice_cache[voice_id] = Conditionals(lanes, ref)
+        log.info("Prepared conditionals for voice '%s'", voice_id)
+
+    def clear_voice_cache(self, voice_id: str) -> None:
+        if voice_id in self.voice_cache:
+            del self.voice_cache[voice_id]
+            log.info("Removed voice '%s' from cache.", voice_id)
+        else:
+            log.warning("Attempted to clear non-cached voice '%s'.", voice_id)
+
+    async def _get_conds(self, voice_id: Optional[str], request_id: str) -> Conditionals:
+        if not voice_id:
+            return await asyncio.to_thread(self._default_conditionals)
+        if voice_id not in self.voice_cache:
+            path = self.voice_manager.get_voice_path(voice_id)
+            if path is None:
+                raise FileNotFoundError(f"Voice '{voice_id}' not found")
+            log.info("[%s] Voice '%s' not cached; preparing conditionals", request_id, voice_id)
+            await asyncio.to_thread(self.prepare_conditionals, path)
+        return self.voice_cache[voice_id]
+
+    # --------------------------------------------------------------- stream
+    async def stream(
+        self,
+        text: str,
+        output_format: str,
+        voice_id: Optional[str],
+        cfg_guidance_weight: float,
+        synthesis_temperature: float,
+        text_processing_chunk_size: int,
+        audio_tokens_per_slice: int,
+        remove_trailing_milliseconds: int,
+        remove_leading_milliseconds: int,
+        chunk_overlap_strategy: Literal["zero", "full"],
+        crossfade_duration_milliseconds: int,
+        request_id: str,
+        cancellation_token: CancellationToken,
+    ) -> AsyncGenerator[bytes, None]:
+        tts_cfg = get_tts_config()
+        async with self.tts_semaphore:
+            if self._state != InitializationState.READY:
+                raise RuntimeError(f"TTS Engine is not ready. Status: {self._state.value}")
+            start_time = time.time()
+            first_chunk = True
+
+            conds = await self._get_conds(voice_id, request_id)
+            text_chunks = await asyncio.to_thread(
+                split_text_into_chunks, text, text_processing_chunk_size
+            )
+            if not text_chunks:
+                yield b""
+                return
+
+            token_q: asyncio.Queue = asyncio.Queue(maxsize=tts_cfg.SPEECH_TOKEN_QUEUE_MAX_SIZE)
+            pcm_q: asyncio.Queue = asyncio.Queue(maxsize=tts_cfg.PCM_CHUNK_QUEUE_MAX_SIZE)
+
+            slice_size = max(1, min(audio_tokens_per_slice, self.cfg.max_new_tokens))
+
+            t3_task = asyncio.create_task(
+                self._t3_producer(
+                    text_chunks, token_q, conds, cfg_guidance_weight,
+                    synthesis_temperature, slice_size, request_id, cancellation_token,
+                )
+            )
+            s3_task = asyncio.create_task(
+                self._s3gen_producer(
+                    token_q, pcm_q, conds, chunk_overlap_strategy, slice_size,
+                    crossfade_duration_milliseconds, remove_leading_milliseconds,
+                    remove_trailing_milliseconds, len(text_chunks), request_id,
+                    cancellation_token,
+                )
+            )
+
+            async def pcm_generator():
+                while True:
+                    cancelled, item = await race_cancellation(pcm_q.get(), cancellation_token)
+                    if cancelled or item is None:
+                        break
+                    yield item
+
+            encoder = AudioEncoder(output_format, self.sr, log_prefix=f"[{request_id}] ")
+            try:
+                async for out in encoder.encode(pcm_generator()):
+                    if first_chunk:
+                        log.info(
+                            "[%s] Time to first audio chunk: %.4fs",
+                            request_id, time.time() - start_time,
+                        )
+                        first_chunk = False
+                    yield out
+            finally:
+                for task in (t3_task, s3_task):
+                    task.cancel()
+                await asyncio.gather(t3_task, s3_task, return_exceptions=True)
+
+    # ---------------------------------------------------------- T3 producer
+    async def _t3_producer(
+        self,
+        text_chunks,
+        token_q: asyncio.Queue,
+        conds: Conditionals,
+        cfg_weight: float,
+        temperature: float,
+        slice_size: int,
+        request_id: str,
+        token: CancellationToken,
+    ) -> None:
+        t3p = self.params["t3"]
+        t3c = self.cfg.t3
+        try:
+            for i, chunk in enumerate(text_chunks):
+                if token.is_cancelled():
+                    break
+                t_start = time.time()
+                ids = self.tokenizer.text_to_tokens(chunk)[0]
+                ids = np.concatenate(
+                    [[t3c.start_text_token], ids[: t3c.max_text_tokens - 2], [t3c.stop_text_token]]
+                ).astype(np.int32)
+                T_pad = _bucket(len(ids), self.cfg.text_bucket, t3c.max_text_tokens)
+                padded = np.zeros((1, T_pad), np.int32)
+                padded[0, : len(ids)] = ids
+                lanes = np.repeat(padded, 2, axis=0)
+
+                def prefill():
+                    return self._jit_prefill()(
+                        t3p, conds.t3_cond_lanes, jnp.asarray(lanes),
+                        jnp.full((2,), len(ids), jnp.int32),
+                    )
+
+                cache = await asyncio.to_thread(prefill)
+                state = make_decode_state(
+                    jax.random.fold_in(jax.random.PRNGKey(self.seed), hash(request_id) % (2**31) + i),
+                    t3c, 1, temperature, 0.95, cfg_weight, 1.2,
+                )
+
+                produced = 0
+                slice_idx = 0
+                done = False
+                while produced < self.cfg.max_new_tokens and not done:
+                    if token.is_cancelled():
+                        break
+                    n = min(slice_size, self.cfg.max_new_tokens - produced)
+
+                    def run_slice():
+                        toks, new_cache, new_state = t3_decode_slice(
+                            t3p, t3c, cache, state, n
+                        )
+                        return np.asarray(toks), new_cache, new_state
+
+                    toks, cache, state = await asyncio.to_thread(run_slice)
+                    done = bool(np.asarray(state["done"])[0])
+                    row = toks[0]
+                    eos = np.where(row == t3c.stop_speech_token)[0]
+                    if len(eos):
+                        row = row[: eos[0]]
+                    produced += n
+                    if len(row) == 0 and done:
+                        break
+                    slice_idx += 1
+                    item = {
+                        "tokens": row,
+                        "chunk_idx": i,
+                        "slice_idx": slice_idx,
+                        "is_first_slice": slice_idx == 1,
+                        "is_last_slice": done or produced >= self.cfg.max_new_tokens,
+                        "is_first_chunk": i == 0,
+                        "is_last_chunk": i == len(text_chunks) - 1,
+                    }
+                    cancelled, _ = await race_cancellation(token_q.put(item), token)
+                    if cancelled:
+                        return
+                log.info(
+                    "[%s][T3] chunk %d/%d: %d slices in %.3fs",
+                    request_id, i + 1, len(text_chunks), slice_idx, time.time() - t_start,
+                )
+        except Exception:
+            log.exception("[%s][T3] producer error", request_id)
+        finally:
+            try:
+                await token_q.put(None)
+            except Exception:
+                pass
+
+    # -------------------------------------------------------- S3Gen producer
+    async def _s3gen_producer(
+        self,
+        token_q: asyncio.Queue,
+        pcm_q: asyncio.Queue,
+        conds: Conditionals,
+        overlap: str,
+        slice_size: int,
+        crossfade_ms: int,
+        lead_trim_ms: int,
+        trail_trim_ms: int,
+        n_chunks: int,
+        request_id: str,
+        token: CancellationToken,
+    ) -> None:
+        s3p = self.params["s3gen"]
+        s3c = self.cfg.s3gen
+        spt = s3c.samples_per_token
+        fade_len = int(self.sr * crossfade_ms / 1000.0)
+        stitcher = CrossfadeStitcher(fade_len)
+        buckets = _token_bucket_sizes(slice_size, self.cfg.t3.max_speech_tokens + 8)
+        # request-stable noise key → deterministic re-synthesis (seam continuity)
+        base_key = jax.random.fold_in(jax.random.PRNGKey(1234), hash(request_id) % (2**31))
+
+        acc_tokens = np.zeros((0,), np.int32)
+        prev_samples = 0
+        last_chunk_idx = -1
+        source_cache = np.zeros((0,), np.float32)
+
+        async def emit(audio: np.ndarray) -> bool:
+            if audio.size == 0:
+                return True
+            cancelled, _ = await race_cancellation(
+                pcm_q.put(float_to_pcm16(audio)), token
+            )
+            return not cancelled
+
+        try:
+            while True:
+                cancelled, item = await race_cancellation(token_q.get(), token)
+                if cancelled or item is None:
+                    break
+                t_start = time.time()
+                row = item["tokens"]
+                if item["chunk_idx"] != last_chunk_idx:
+                    acc_tokens = np.zeros((0,), np.int32)
+                    prev_samples = 0
+                    source_cache = np.zeros((0,), np.float32)
+                    last_chunk_idx = item["chunk_idx"]
+                    chunk_key = jax.random.fold_in(base_key, item["chunk_idx"])
+
+                if overlap == "full":
+                    acc_tokens = np.concatenate([acc_tokens, row])
+                    infer_tokens = acc_tokens
+                else:
+                    infer_tokens = row
+
+                if item["is_last_slice"]:
+                    # reference quirk kept deliberately: speech EOS uses
+                    # hp.stop_text_token (=0, a *valid* code) — tts_streaming.py:606,662-664
+                    infer_tokens = np.concatenate(
+                        [infer_tokens, [self.cfg.t3.stop_text_token]]
+                    )
+                infer_tokens = infer_tokens[infer_tokens < s3c.vocab_size]
+                if infer_tokens.size == 0:
+                    continue
+                if infer_tokens.size < 3:
+                    infer_tokens = np.pad(infer_tokens, (0, 3 - infer_tokens.size))
+
+                T = next(b for b in buckets if b >= infer_tokens.size)
+                padded = np.full((1, T), s3c.vocab_size, np.int32)
+                padded[0, : infer_tokens.size] = infer_tokens
+                src = np.zeros((1, T * spt), np.float32)
+                cache_len = min(len(source_cache), T * spt) if overlap == "full" else 0
+                if cache_len:
+                    src[0, :cache_len] = source_cache[:cache_len]
+
+                def run():
+                    wav, new_src = self._jit_s3gen()(
+                        s3p, jnp.asarray(padded),
+                        jnp.array([infer_tokens.size], jnp.int32),
+                        conds.gen_ref, jnp.asarray(src),
+                        jnp.array([cache_len], jnp.int32), chunk_key,
+                    )
+                    return np.asarray(wav[0]), np.asarray(new_src[0])
+
+                wav, new_src = await asyncio.to_thread(run)
+                valid = infer_tokens.size * spt
+                audio = wav[:valid]
+                if overlap == "full":
+                    source_cache = new_src[:valid]
+                    audio = audio[prev_samples:]
+                    prev_samples = valid
+
+                if item["is_first_chunk"] and item["is_first_slice"]:
+                    audio = trim_leading(audio, lead_trim_ms, self.sr)
+                if item["is_last_chunk"] and item["is_last_slice"]:
+                    audio = trim_trailing(audio, trail_trim_ms, self.sr)
+
+                log.info(
+                    "[%s][S3GEN] slice %d (chunk %d/%d): %d tokens → %.2fs audio in %.3fs",
+                    request_id, item["slice_idx"], item["chunk_idx"] + 1, n_chunks,
+                    infer_tokens.size, len(audio) / self.sr, time.time() - t_start,
+                )
+                if not await emit(stitcher.push(audio)):
+                    return
+        except Exception:
+            log.exception("[%s][S3GEN] producer error", request_id)
+        finally:
+            try:
+                await emit(stitcher.flush())
+                await pcm_q.put(None)
+            except Exception:
+                pass

