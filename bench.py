@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Benchmark: full-size model pipeline on the local accelerator.
+
+Measures the two hot stages at production shapes and derives the headline
+serving metric (BASELINE.md north star: concurrent real-time streams per
+chip, RTF < 1, target ≥ 16):
+
+  * T3 decode throughput (520M llama, CFG 2-lane, 35-token jitted slices)
+  * S3Gen chunk synthesis (encoder + 10-step CFM + vocoder, one XLA graph)
+
+RTF(stream) = seconds-of-compute per second-of-audio. Audio advances 25
+tokens/s, so rtf = 25/tok_rate_t3 + t_s3gen_chunk/1.4s. Streams/chip =
+floor(1/rtf) — stage interleaving shares the chip across requests.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from chatterbox_tpu.models.s3gen import S3GenConfig, init_s3gen_params, s3gen_inference
+    from chatterbox_tpu.models.t3 import (
+        T3Config,
+        init_t3_params,
+        make_decode_state,
+        t3_decode_slice,
+        t3_prefill,
+    )
+
+    dtype = jnp.bfloat16
+    slice_tokens = 35
+    t3c = T3Config()
+    s3c = S3GenConfig()
+
+    t3_params = jax.device_put(init_t3_params(jax.random.PRNGKey(0), t3c, dtype))
+    s3_params = jax.device_put(init_s3gen_params(jax.random.PRNGKey(1), s3c, dtype))
+
+    # ---------------- T3: prefill + sliced decode (2 CFG lanes) -------------
+    C, D = t3c.cond_len, t3c.hidden_size
+    cond = jnp.zeros((2, C, D), dtype)
+    T_text = 64
+    text = jnp.zeros((2, T_text), jnp.int32)
+    tlen = jnp.full((2,), 60, jnp.int32)
+
+    prefill = jax.jit(lambda p, c, t, l: t3_prefill(p, t3c, c, t, l))
+    cache = prefill(t3_params, cond, text, tlen)
+    jax.block_until_ready(cache["k"])
+    t0 = time.perf_counter()
+    cache = prefill(t3_params, cond, text, tlen)
+    jax.block_until_ready(cache["k"])
+    prefill_s = time.perf_counter() - t0
+
+    state = make_decode_state(jax.random.PRNGKey(2), t3c, 1, 0.8, 0.95, 0.5, 1.2)
+    # compile + warm
+    toks, cache, state = t3_decode_slice(t3_params, t3c, cache, state, slice_tokens)
+    jax.block_until_ready(toks)
+    n_slices = 4
+    t0 = time.perf_counter()
+    for _ in range(n_slices):
+        toks, cache, state = t3_decode_slice(t3_params, t3c, cache, state, slice_tokens)
+    jax.block_until_ready(toks)
+    t3_slice_s = (time.perf_counter() - t0) / n_slices
+    t3_tok_rate = slice_tokens / t3_slice_s
+
+    # ---------------- S3Gen: one chunk at the typical accumulated size ------
+    T_chunk = 2 * slice_tokens  # typical "full"-overlap accumulated length
+    spt = s3c.samples_per_token
+    ref = {
+        "spk_emb": jnp.zeros((1, s3c.spk_dim), jnp.float32),
+        "prompt_tokens": jnp.zeros((1, s3c.max_prompt_tokens), jnp.int32),
+        "prompt_len": jnp.array([100], jnp.int32),
+        "prompt_mel": jnp.zeros((1, s3c.max_prompt_mel, s3c.n_mels), jnp.float32),
+        "prompt_mel_len": jnp.array([200], jnp.int32),
+    }
+    tokens = jnp.zeros((1, T_chunk), jnp.int32)
+    src = jnp.zeros((1, T_chunk * spt), jnp.float32)
+    infer = jax.jit(
+        lambda p, t, l, r, s, cl, k: s3gen_inference(p, s3c, t, l, r, s, cl, k)
+    )
+    args = (s3_params, tokens, jnp.array([T_chunk], jnp.int32), ref, src,
+            jnp.array([0], jnp.int32), jax.random.PRNGKey(3))
+    wav, _ = infer(*args)
+    jax.block_until_ready(wav)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        wav, _ = infer(*args)
+    jax.block_until_ready(wav)
+    s3_chunk_s = (time.perf_counter() - t0) / 3
+    chunk_audio_s = slice_tokens / s3c.token_rate  # new audio per slice (1.4 s)
+
+    # ---------------- headline metric --------------------------------------
+    rtf = (s3c.token_rate / t3_tok_rate) + (s3_chunk_s / chunk_audio_s)
+    streams = int(np.floor(1.0 / rtf)) if rtf < 1 else 0
+    ttfa_s = prefill_s + t3_slice_s + s3_chunk_s
+
+    sys.stderr.write(
+        f"t3: prefill {prefill_s*1e3:.1f} ms, {t3_tok_rate:.1f} tok/s "
+        f"(slice {t3_slice_s*1e3:.1f} ms); s3gen chunk {s3_chunk_s*1e3:.1f} ms; "
+        f"rtf {rtf:.3f}; ttfa {ttfa_s*1e3:.0f} ms; device {jax.devices()[0]}\n"
+    )
+    print(json.dumps({
+        "metric": "concurrent_realtime_streams_per_chip",
+        "value": streams,
+        "unit": f"streams (rtf={rtf:.3f}, ttfa_ms={ttfa_s*1e3:.0f})",
+        "vs_baseline": round(streams / 16.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

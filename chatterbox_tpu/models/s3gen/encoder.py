@@ -19,15 +19,16 @@ from ...ops.nn import causal_attention, linear, rms_norm, rope_frequencies, appl
 from .config import S3GenConfig
 
 
-def _dense(key, shape, dtype, scale=None):
-    fan_in = shape[-2] if len(shape) >= 2 else shape[-1]
-    scale = scale or 1.0 / math.sqrt(fan_in)
-    return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+def _dense(rng, shape, dtype, scale=None):
+    from ...ops.initializers import dense_init
+
+    return dense_init(rng, shape, dtype, scale)
 
 
 def init_encoder_params(key: jax.Array, cfg: S3GenConfig, dtype=jnp.float32) -> Dict:
     D, L, F = cfg.enc_dim, cfg.enc_layers, cfg.enc_ffn
-    ks = iter(jax.random.split(key, 16))
+    from ...ops.initializers import rng_stream
+    ks = rng_stream(key)
     dense = lambda shape, scale=None: _dense(next(ks), shape, dtype, scale)
     return {
         "token_emb": dense((cfg.vocab_size + 1, D), 0.02),  # +1: pad id = vocab_size

@@ -18,16 +18,17 @@ from ...ops.nn import causal_attention, layer_norm, linear
 from .config import S3GenConfig
 
 
-def _dense(key, shape, dtype, scale=None):
-    fan_in = shape[-2] if len(shape) >= 2 else shape[-1]
-    scale = scale or 1.0 / math.sqrt(fan_in)
-    return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+def _dense(rng, shape, dtype, scale=None):
+    from ...ops.initializers import dense_init
+
+    return dense_init(rng, shape, dtype, scale)
 
 
 def init_flow_params(key: jax.Array, cfg: S3GenConfig, dtype=jnp.float32) -> Dict:
     D, L, F = cfg.dit_dim, cfg.dit_layers, cfg.dit_ffn
     M = cfg.n_mels
-    ks = iter(jax.random.split(key, 24))
+    from ...ops.initializers import rng_stream
+    ks = rng_stream(key)
     dense = lambda shape, scale=None: _dense(next(ks), shape, dtype, scale)
     return {
         "in_proj": {"w": dense((3 * M + 1, D)), "b": jnp.zeros((D,), dtype)},

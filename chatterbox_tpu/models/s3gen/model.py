@@ -134,7 +134,7 @@ def s3gen_inference(
     packed_mel = jnp.take_along_axis(pm, srcf[:, :, None], axis=1)
     prompt_frame_flag = (jf >= offf)[:, :, None]
     packed_mel = jnp.where(prompt_frame_flag, packed_mel, 0.0)
-    cond = cond.at[:, :Pm].set(packed_mel)
+    cond = cond.at[:, :Pm].set(packed_mel.astype(cond.dtype))
     flag = jnp.concatenate(
         [prompt_frame_flag.astype(mu.dtype), jnp.zeros((B, T * fpt, 1), mu.dtype)], axis=1
     )

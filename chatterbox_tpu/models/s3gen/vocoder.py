@@ -27,16 +27,17 @@ from ...ops.spectral import istft
 from .config import S3GenConfig
 
 
-def _dense(key, shape, dtype, scale=None):
-    fan_in = shape[-2] if len(shape) >= 2 else shape[-1]
-    scale = scale or 1.0 / math.sqrt(fan_in)
-    return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+def _dense(rng, shape, dtype, scale=None):
+    from ...ops.initializers import dense_init
+
+    return dense_init(rng, shape, dtype, scale)
 
 
 def init_vocoder_params(key: jax.Array, cfg: S3GenConfig, dtype=jnp.float32) -> Dict:
     C = cfg.voc_channels
     M = cfg.n_mels
-    ks = iter(jax.random.split(key, 128))
+    from ...ops.initializers import rng_stream
+    ks = rng_stream(key)
     dense = lambda shape, scale=None: _dense(next(ks), shape, dtype, scale)
 
     # F0 predictor: small conv stack on mel

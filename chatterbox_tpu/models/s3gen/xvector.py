@@ -16,14 +16,15 @@ from ...ops.conv import conv1d
 from .config import S3GenConfig
 
 
-def _dense(key, shape, dtype, scale=None):
-    fan_in = shape[-2] if len(shape) >= 2 else shape[-1]
-    scale = scale or 1.0 / math.sqrt(fan_in)
-    return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+def _dense(rng, shape, dtype, scale=None):
+    from ...ops.initializers import dense_init
+
+    return dense_init(rng, shape, dtype, scale)
 
 
 def init_xvector_params(key: jax.Array, cfg: S3GenConfig, n_mels: int = 80, dtype=jnp.float32) -> Dict:
-    ks = iter(jax.random.split(key, 16))
+    from ...ops.initializers import rng_stream
+    ks = rng_stream(key)
     dense = lambda shape: _dense(next(ks), shape, dtype)
     C = 512
     return {

@@ -46,15 +46,16 @@ class S3TokConfig:
         return S3TokConfig(dim=32, layers=1, heads=2, ffn=64)
 
 
-def _dense(key, shape, dtype, scale=None):
-    fan_in = shape[-2] if len(shape) >= 2 else shape[-1]
-    scale = scale or 1.0 / math.sqrt(fan_in)
-    return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+def _dense(rng, shape, dtype, scale=None):
+    from ...ops.initializers import dense_init
+
+    return dense_init(rng, shape, dtype, scale)
 
 
 def init_s3tok_params(key: jax.Array, cfg: S3TokConfig, dtype=jnp.float32) -> Dict:
     D, L, F = cfg.dim, cfg.layers, cfg.ffn
-    ks = iter(jax.random.split(key, 16))
+    from ...ops.initializers import rng_stream
+    ks = rng_stream(key)
     dense = lambda shape, scale=None: _dense(next(ks), shape, dtype, scale)
     return {
         "down1": {"w": dense((5, cfg.n_mels, D)), "b": jnp.zeros((D,), dtype)},

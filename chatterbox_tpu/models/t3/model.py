@@ -47,19 +47,15 @@ Params = Dict
 
 
 # ------------------------------------------------------------------ init
-def _dense(key, shape, dtype, scale=None):
-    fan_in = shape[-2] if len(shape) >= 2 else shape[-1]
-    scale = scale or 1.0 / math.sqrt(fan_in)
-    return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
-
-
 def init_t3_params(key: jax.Array, cfg: T3Config, dtype=jnp.float32) -> Params:
+    from ...ops.initializers import dense_init, rng_stream
+
     D, L = cfg.hidden_size, cfg.num_layers
     Hq, Hk, Dh, F = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, cfg.intermediate_size
-    ks = iter(jax.random.split(key, 64))
+    ks = rng_stream(key)
 
     def dense(shape, scale=None):
-        return _dense(next(ks), shape, dtype, scale)
+        return dense_init(next(ks), shape, dtype, scale)
 
     params: Params = {
         "text_emb": dense((cfg.text_vocab_size, D), 0.02),

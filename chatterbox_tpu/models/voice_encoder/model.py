@@ -37,14 +37,15 @@ class VoiceEncoderConfig:
         return VoiceEncoderConfig(hidden=32, layers=1, embed_dim=32, window_frames=16, window_hop=8)
 
 
-def _dense(key, shape, dtype, scale=None):
-    fan_in = shape[-2] if len(shape) >= 2 else shape[-1]
-    scale = scale or 1.0 / math.sqrt(fan_in)
-    return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+def _dense(rng, shape, dtype, scale=None):
+    from ...ops.initializers import dense_init
+
+    return dense_init(rng, shape, dtype, scale)
 
 
 def init_voice_encoder_params(key: jax.Array, cfg: VoiceEncoderConfig, dtype=jnp.float32) -> Dict:
-    ks = iter(jax.random.split(key, 4 * cfg.layers + 2))
+    from ...ops.initializers import rng_stream
+    ks = rng_stream(key)
     layers = []
     in_dim = cfg.n_mels
     for _ in range(cfg.layers):

@@ -17,6 +17,8 @@ def conv1d(
     groups: int = 1,
 ) -> jnp.ndarray:
     K = w.shape[0]
+    if x.dtype != w.dtype:  # weights define the compute precision (bf16 policy)
+        x = x.astype(w.dtype)
     if padding == "CAUSAL":
         pad_amt = (K - 1) * dilation
         x = jnp.pad(x, ((0, 0), (pad_amt, 0), (0, 0)))
@@ -47,6 +49,8 @@ def conv_transpose1d(
     """Transposed conv with output length T*stride (HiFiGAN-style upsampling:
     kernel K, stride s, pad (K-s)//2 — requires (K-s) even)."""
     K = w.shape[0]
+    if x.dtype != w.dtype:
+        x = x.astype(w.dtype)
     pad_total = K - stride
     pad_lo = pad_total // 2
     pad_hi = pad_total - pad_lo

@@ -122,6 +122,21 @@ def _token_bucket_sizes(slice_size: int, cap: int):
     return sizes
 
 
+def ensure_backend_initialized() -> None:
+    """Force JAX backend initialization on the CALLING (main) thread.
+
+    The tunneled TPU runtime initializes per-process state tied to the thread
+    that first touches the device; if that first touch happens from a worker
+    thread while an asyncio loop runs on the main thread, every subsequent
+    blocking device wait takes ~20 s. Touch the device here, on the main
+    thread, before starting any event loop. (Found empirically; see
+    .claude/skills/verify/SKILL.md gotchas.)
+    """
+    import numpy as _np
+
+    _np.asarray(jnp.zeros((1,)))
+
+
 class TTSEngine:
     ENC_COND_LEN = 6 * S3_SR       # tokenizer prompt budget (reference :167)
     DEC_COND_LEN = 10 * S3GEN_SR   # embed_ref budget (reference :168)
@@ -195,6 +210,8 @@ class TTSEngine:
                 "s3tok": init_s3tok_params(k3, self.cfg.s3tok, dtype),
                 "ve": init_voice_encoder_params(k4, self.cfg.ve, dtype),
             }
+        # one bulk host→HBM transfer (init tensors are built host-side)
+        self.params = jax.device_put(self.params)
         tok_file = model_dir / "tokenizer.json"
         self.tokenizer = TextTokenizer(str(tok_file) if tok_file.exists() else None,
                                        self.cfg.t3.text_vocab_size)
