@@ -17,8 +17,14 @@ import numpy as np
 
 def float_to_pcm16(audio: np.ndarray) -> bytes:
     """Clamp float waveform to [-1, 1] and convert to little-endian int16 bytes
-    (same contract as reference tts_streaming.py:149-155)."""
+    (same contract as reference tts_streaming.py:149-155). Uses the native
+    audiokit when built; numpy otherwise."""
     audio = np.asarray(audio, dtype=np.float32)
+    from .. import native
+
+    out = native.float_to_pcm16(audio)
+    if out is not None:
+        return out
     clipped = np.clip(audio, -1.0, 1.0)
     return (clipped * 32767.0).astype("<i2").tobytes()
 
@@ -116,11 +122,19 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
 
 def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     """Polyphase resampling (band-limited), e.g. 24 kHz -> 16 kHz for voice
-    conditioning (reference uses librosa.resample, tts_streaming.py:363)."""
+    conditioning (reference uses librosa/soxr, tts_streaming.py:363). Native
+    audiokit (Kaiser-sinc polyphase, C++) when built; scipy otherwise."""
     if orig_sr == target_sr:
         return np.asarray(audio, dtype=np.float32)
+    g = gcd(orig_sr, target_sr)
+    up, down = target_sr // g, orig_sr // g
+
+    from .. import native
+
+    out = native.resample_poly(np.asarray(audio, dtype=np.float32), up, down)
+    if out is not None:
+        return out
     from scipy.signal import resample_poly
 
-    g = gcd(orig_sr, target_sr)
-    out = resample_poly(np.asarray(audio, dtype=np.float64), target_sr // g, orig_sr // g)
+    out = resample_poly(np.asarray(audio, dtype=np.float64), up, down)
     return np.ascontiguousarray(out, dtype=np.float32)

@@ -160,6 +160,9 @@ class TTSEngine:
         self._error: Optional[str] = None
         self.tts_semaphore = asyncio.Semaphore(settings.CONCURRENT_REQUESTS_PER_WORKER)
         self._jit_cache: Dict = {}
+        # per-request fatal pipeline errors, surfaced to the HTTP layer
+        # (the reference leaves this as a TODO — worker.py:54-56)
+        self._request_errors: Dict[str, str] = {}
 
     # ------------------------------------------------------------------ init
     def get_initialization_status(self) -> dict:
@@ -419,7 +422,11 @@ class TTSEngine:
                         )
                         first_chunk = False
                     yield out
+                err = self._request_errors.pop(request_id, None)
+                if err is not None:
+                    raise RuntimeError(f"synthesis pipeline failed: {err}")
             finally:
+                self._request_errors.pop(request_id, None)
                 for task in (t3_task, s3_task):
                     task.cancel()
                 await asyncio.gather(t3_task, s3_task, return_exceptions=True)
@@ -504,8 +511,9 @@ class TTSEngine:
                     "[%s][T3] chunk %d/%d: %d slices in %.3fs",
                     request_id, i + 1, len(text_chunks), slice_idx, time.time() - t_start,
                 )
-        except Exception:
+        except Exception as exc:
             log.exception("[%s][T3] producer error", request_id)
+            self._request_errors[request_id] = f"T3: {exc}"
         finally:
             try:
                 await token_q.put(None)
@@ -618,8 +626,9 @@ class TTSEngine:
                 )
                 if not await emit(stitcher.push(audio)):
                     return
-        except Exception:
+        except Exception as exc:
             log.exception("[%s][S3GEN] producer error", request_id)
+            self._request_errors[request_id] = f"S3Gen: {exc}"
         finally:
             try:
                 await emit(stitcher.flush())

@@ -74,10 +74,28 @@ def create_app(engine: Optional[TTSEngine] = None, warm_voices: bool = True) -> 
     app["voice_manager"] = VoiceManager()
     app["active_requests"] = {}
 
+    async def supervisor(app: web.Application) -> None:
+        """Supervised engine restart (the reference has none — a crashed
+        worker leaves requests hanging, SURVEY.md §5.3). If the engine lands
+        in ERROR, rebuild and re-initialize it in place."""
+        while True:
+            await asyncio.sleep(10)
+            eng: TTSEngine = app["engine"]
+            if eng.get_initialization_status()["state"] == "error":
+                log.warning("Engine in ERROR state — restarting")
+                try:
+                    new_engine = TTSEngine(eng.cfg)
+                    await new_engine.ainit()
+                    app["engine"] = new_engine
+                    log.info("Engine restarted successfully")
+                except Exception:
+                    log.exception("Engine restart failed; retrying in 10s")
+
     async def on_startup(app: web.Application) -> None:
         eng: TTSEngine = app["engine"]
         if eng.get_initialization_status()["state"] == "not_started":
             await eng.ainit()
+        app["supervisor_task"] = asyncio.ensure_future(supervisor(app))
         if warm_voices:
             async def warm():
                 for vid in app["voice_manager"].list_voices():
@@ -91,6 +109,9 @@ def create_app(engine: Optional[TTSEngine] = None, warm_voices: bool = True) -> 
             asyncio.ensure_future(warm())
 
     async def on_cleanup(app: web.Application) -> None:
+        task = app.get("supervisor_task")
+        if task:
+            task.cancel()
         for token in list(app["active_requests"].values()):
             token.cancel()
         app["engine"].shutdown()
