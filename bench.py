@@ -72,6 +72,25 @@ def main() -> None:
     t3_slice_s = (time.perf_counter() - t0) / n_slices
     t3_tok_rate = slice_tokens / t3_slice_s
 
+    # ------------- T3 batched decode: N slots share the weights -------------
+    n_slots = int(os.environ.get("BENCH_SLOTS", "16"))
+    Bb = 2 * n_slots
+    S_max = t3c.max_seq_len
+    cache_b = {
+        "k": jnp.zeros((t3c.num_layers, Bb, S_max, t3c.num_kv_heads, t3c.head_dim), dtype),
+        "v": jnp.zeros((t3c.num_layers, Bb, S_max, t3c.num_kv_heads, t3c.head_dim), dtype),
+        "start": jnp.zeros((Bb,), jnp.int32),
+        "pos": jnp.full((Bb,), 128, jnp.int32),
+    }
+    state_b = make_decode_state(jax.random.PRNGKey(4), t3c, n_slots, 0.8, 0.95, 0.5, 1.2)
+    toks, cache_b, state_b = t3_decode_slice(t3_params, t3c, cache_b, state_b, slice_tokens)
+    jax.block_until_ready(toks)
+    t0 = time.perf_counter()
+    for _ in range(n_slices):
+        toks, cache_b, state_b = t3_decode_slice(t3_params, t3c, cache_b, state_b, slice_tokens)
+    jax.block_until_ready(toks)
+    t3_batched_slice_s = (time.perf_counter() - t0) / n_slices
+
     # ---------------- S3Gen: one chunk at the typical accumulated size ------
     T_chunk = 2 * slice_tokens  # typical "full"-overlap accumulated length
     spt = s3c.samples_per_token
@@ -99,19 +118,32 @@ def main() -> None:
     chunk_audio_s = slice_tokens / s3c.token_rate  # new audio per slice (1.4 s)
 
     # ---------------- headline metric --------------------------------------
-    rtf = (s3c.token_rate / t3_tok_rate) + (s3_chunk_s / chunk_audio_s)
-    streams = int(np.floor(1.0 / rtf)) if rtf < 1 else 0
+    # Single-stream figures
+    rtf_single = (s3c.token_rate / t3_tok_rate) + (s3_chunk_s / chunk_audio_s)
     ttfa_s = prefill_s + t3_slice_s + s3_chunk_s
 
+    # Batched serving: per 1.4 s audio window, the chip spends one batched
+    # decode slice (covers ALL slots) + one s3gen chunk PER stream. Real-time
+    # for N streams needs t3_batched_slice + N*s3_chunk <= slice audio length.
+    budget = chunk_audio_s
+    streams_batched = int(min(
+        n_slots, max(0.0, (budget - t3_batched_slice_s) / s3_chunk_s)
+    ))
+    streams_single = int(np.floor(1.0 / rtf_single)) if rtf_single < 1 else 0
+    streams = max(streams_batched, streams_single)
+
     sys.stderr.write(
-        f"t3: prefill {prefill_s*1e3:.1f} ms, {t3_tok_rate:.1f} tok/s "
-        f"(slice {t3_slice_s*1e3:.1f} ms); s3gen chunk {s3_chunk_s*1e3:.1f} ms; "
-        f"rtf {rtf:.3f}; ttfa {ttfa_s*1e3:.0f} ms; device {jax.devices()[0]}\n"
+        f"t3: prefill {prefill_s*1e3:.1f} ms, {t3_tok_rate:.1f} tok/s single "
+        f"(slice {t3_slice_s*1e3:.1f} ms), batched[{n_slots} slots] slice "
+        f"{t3_batched_slice_s*1e3:.1f} ms; s3gen chunk {s3_chunk_s*1e3:.1f} ms; "
+        f"rtf_single {rtf_single:.3f}; ttfa {ttfa_s*1e3:.0f} ms; "
+        f"streams single={streams_single} batched={streams_batched}; "
+        f"device {jax.devices()[0]}\n"
     )
     print(json.dumps({
         "metric": "concurrent_realtime_streams_per_chip",
         "value": streams,
-        "unit": f"streams (rtf={rtf:.3f}, ttfa_ms={ttfa_s*1e3:.0f})",
+        "unit": f"streams (rtf_single={rtf_single:.3f}, ttfa_ms={ttfa_s*1e3:.0f})",
         "vs_baseline": round(streams / 16.0, 3),
     }))
 

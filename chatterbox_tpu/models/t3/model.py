@@ -263,22 +263,22 @@ def _write_cache(cache_arr: jnp.ndarray, new: jnp.ndarray, pos: jnp.ndarray) -> 
 
 
 # ---------------------------------------------------------------- prefill
-def t3_prefill(
+def t3_prefill_raw(
     params: Params,
     cfg: T3Config,
     cond: jnp.ndarray,         # [B, C, D] conditioning prefix (per lane)
     text_tokens: jnp.ndarray,  # [B, T_pad] int32, right-padded
     text_len: jnp.ndarray,     # [B] valid lengths
-) -> Dict:
-    """Build the packed prefix, run the backbone once, return the KV cache.
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run the prefix through the backbone → (k_all, v_all, pad).
 
     The row is left-padded: [pad(T_pad-t_len) | cond | text]. Implemented as a
     per-row gather from the right-packed layout so shapes stay static.
+    k_all/v_all: [L, B, P, Hk, Dh]; pad: [B] left-pad widths (= cache start).
     """
     B, C = cond.shape[0], cond.shape[1]
     T_pad = text_tokens.shape[1]
     P = C + T_pad
-    D = cond.shape[2]
 
     text_emb = params["text_emb"][text_tokens]
     if cfg.learned_pos_emb:
@@ -293,9 +293,21 @@ def t3_prefill(
     valid = jnp.arange(P)[None, :] >= pad[:, None]
     h = jnp.where(valid[:, :, None], h, 0.0)
 
-    hidden, k_all, v_all = _backbone_prefill(params, cfg, h, valid)
+    _, k_all, v_all = _backbone_prefill(params, cfg, h, valid)
+    return k_all, v_all, pad
 
-    # Grow cache to the full decode budget.
+
+def t3_prefill(
+    params: Params,
+    cfg: T3Config,
+    cond: jnp.ndarray,
+    text_tokens: jnp.ndarray,
+    text_len: jnp.ndarray,
+) -> Dict:
+    """Prefill and return a per-request KV cache grown to the decode budget."""
+    B = cond.shape[0]
+    P = cond.shape[1] + text_tokens.shape[1]
+    k_all, v_all, pad = t3_prefill_raw(params, cfg, cond, text_tokens, text_len)
     S_max = P + 1 + cfg.max_speech_tokens
     padw = ((0, 0), (0, 0), (0, S_max - P), (0, 0), (0, 0))
     return {
@@ -357,8 +369,11 @@ def t3_decode_slice(
 
     def step(carry, _):
         cache, state = carry
+        # A finished (or empty batching) slot must not advance its cache
+        # position or speech step — it idles in place, re-emitting EOS.
+        active_lanes = jnp.repeat(~state["done"], 2)
         tok_lanes = jnp.repeat(state["last_token"], 2)         # [B]
-        step_lanes = jnp.repeat(state["step"], 2)
+        step_lanes = jnp.clip(jnp.repeat(state["step"], 2), 0, cfg.max_speech_tokens + 1)
         h = params["speech_emb"][tok_lanes][:, None, :]
         if cfg.learned_pos_emb:
             h = h + params["speech_pos"][step_lanes][:, None, :]
@@ -369,7 +384,7 @@ def t3_decode_slice(
             "k": _write_cache(cache["k"], k_new, cache["pos"]),
             "v": _write_cache(cache["v"], v_new, cache["pos"]),
             "start": cache["start"],
-            "pos": cache["pos"] + 1,
+            "pos": cache["pos"] + active_lanes.astype(jnp.int32),
         }
         logits = linear(
             hidden[:, 0], params["speech_head"]["w"], params["speech_head"]["b"]
@@ -398,11 +413,14 @@ def t3_decode_slice(
         token = jnp.where(state["temperature"] <= 0.0, greedy, sampled).astype(jnp.int32)
         token = jnp.where(state["done"], cfg.stop_speech_token, token)
         done = state["done"] | (token == cfg.stop_speech_token)
-        counts = state["token_counts"].at[jnp.arange(R), token].add(1)
+        active = ~state["done"]
+        counts = state["token_counts"].at[jnp.arange(R), token].add(
+            active.astype(jnp.int32)
+        )
         state = {
             **state,
             "last_token": token,
-            "step": state["step"] + 1,
+            "step": state["step"] + active.astype(jnp.int32),
             "done": done,
             "token_counts": counts,
             "rng": key,

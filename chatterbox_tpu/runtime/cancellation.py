@@ -20,15 +20,26 @@ class CancellationToken:
 
 
 async def race_cancellation(coro, token: CancellationToken):
-    """Await `coro` unless the token fires first. Returns (cancelled, result)."""
+    """Await `coro` unless the token fires first. Returns (cancelled, result).
+
+    The losing task is cancelled AND reaped (awaited), so no pending-task
+    debris survives to loop teardown."""
     get_task = asyncio.ensure_future(coro)
     cancel_task = asyncio.ensure_future(token.wait())
-    done, pending = await asyncio.wait(
-        [get_task, cancel_task], return_when=asyncio.FIRST_COMPLETED
-    )
-    if cancel_task in done and get_task not in done:
+    try:
+        done, pending = await asyncio.wait(
+            [get_task, cancel_task], return_when=asyncio.FIRST_COMPLETED
+        )
+    except BaseException:
         get_task.cancel()
-        return True, None
+        cancel_task.cancel()
+        raise
     for t in pending:
         t.cancel()
+        try:
+            await t
+        except (asyncio.CancelledError, Exception):
+            pass
+    if cancel_task in done and get_task not in done:
+        return True, None
     return False, get_task.result()

@@ -111,6 +111,20 @@ def _bucket(n: int, step: int, cap: int) -> int:
     return min(cap, max(step, int(math.ceil(n / step)) * step))
 
 
+def _queue_put_final(q: asyncio.Queue, item) -> None:
+    """Best-effort non-blocking sentinel put (drops one stale entry if full)."""
+    try:
+        q.put_nowait(item)
+    except asyncio.QueueFull:
+        try:
+            q.get_nowait()
+            q.put_nowait(item)
+        except Exception:
+            pass
+    except Exception:
+        pass
+
+
 def _token_bucket_sizes(slice_size: int, cap: int):
     """Doubling buckets for the accumulated-token axis: s, 2s, 4s, ... cap."""
     sizes = []
@@ -160,6 +174,7 @@ class TTSEngine:
         self._error: Optional[str] = None
         self.tts_semaphore = asyncio.Semaphore(settings.CONCURRENT_REQUESTS_PER_WORKER)
         self._jit_cache: Dict = {}
+        self.decoder = None  # BatchedT3Decoder when MAX_DECODE_SLOTS > 1
         # per-request fatal pipeline errors, surfaced to the HTTP layer
         # (the reference leaves this as a TODO — worker.py:54-56)
         self._request_errors: Dict[str, str] = {}
@@ -170,6 +185,9 @@ class TTSEngine:
 
     def shutdown(self) -> None:
         log.info("Engine shutdown: releasing device buffers.")
+        if self.decoder is not None:
+            self.decoder.stop()
+            self.decoder = None
         self.params = None
         self.voice_cache.clear()
         self._jit_cache.clear()
@@ -179,8 +197,21 @@ class TTSEngine:
             self._state = InitializationState.INITIALIZING
             self._progress = "Initializing models..."
             await asyncio.to_thread(self._init_models)
+            settings = get_settings()
+            if settings.MAX_DECODE_SLOTS > 1:
+                from .scheduler import BatchedT3Decoder
+
+                self.decoder = BatchedT3Decoder(
+                    self.params["t3"],
+                    self.cfg.t3,
+                    n_slots=settings.MAX_DECODE_SLOTS,
+                    slice_size=get_tts_config().AUDIO_TOKENS_PER_SLICE,
+                    seed=self.seed,
+                )
             self._progress = "Warming up compiled graphs..."
             await asyncio.to_thread(self._warmup)
+            if self.decoder is not None:
+                await self._warmup_decoder()
             self._state = InitializationState.READY
             self._progress = "Model ready"
             log.info("Engine ready on %s", jax.devices()[0])
@@ -190,6 +221,17 @@ class TTSEngine:
             self._progress = f"Failed: {exc}"
             log.exception("Engine initialization failed")
             raise
+
+    async def _warmup_decoder(self) -> None:
+        """Compile the batched insert + decode graphs by pushing one dummy
+        chunk through the scheduler."""
+        conds = self.voice_cache["default"]
+        text = np.zeros((2, self.cfg.text_bucket), np.int32)
+        async for _ in self.decoder.decode_chunk(
+            np.asarray(conds.t3_cond_lanes), text, 4, 0.8, 0.95, 0.5, 1.2,
+            max_new_tokens=self.decoder.slice_size,
+        ):
+            pass
 
     def _init_models(self) -> None:
         settings = get_settings()
@@ -224,19 +266,21 @@ class TTSEngine:
         same way, tts_streaming.py:274-326)."""
         conds = self._default_conditionals()
         tts_cfg = get_tts_config()
-        text = np.zeros((1, self.cfg.text_bucket), np.int32)
-        cache = self._jit_prefill()(
-            self.params["t3"], conds.t3_cond_lanes, jnp.asarray(np.repeat(text, 2, 0)),
-            jnp.full((2,), 4, jnp.int32),
-        )
-        state = make_decode_state(
-            jax.random.PRNGKey(0), self.cfg.t3, 1, 0.8, 0.95, 0.5, 1.2
-        )
         slice_size = min(tts_cfg.AUDIO_TOKENS_PER_SLICE, self.cfg.max_new_tokens)
-        tokens, cache, state = t3_decode_slice(
-            self.params["t3"], self.cfg.t3, cache, state, slice_size
-        )
-        np.asarray(tokens)  # block
+        if self.decoder is None:
+            # per-request decode graphs (only used without the batched decoder)
+            text = np.zeros((1, self.cfg.text_bucket), np.int32)
+            cache = self._jit_prefill()(
+                self.params["t3"], conds.t3_cond_lanes, jnp.asarray(np.repeat(text, 2, 0)),
+                jnp.full((2,), 4, jnp.int32),
+            )
+            state = make_decode_state(
+                jax.random.PRNGKey(0), self.cfg.t3, 1, 0.8, 0.95, 0.5, 1.2
+            )
+            tokens, cache, state = t3_decode_slice(
+                self.params["t3"], self.cfg.t3, cache, state, slice_size
+            )
+            np.asarray(tokens)  # block
         bucket = _token_bucket_sizes(slice_size, self.cfg.t3.max_speech_tokens)[0]
         spt = self.cfg.s3gen.samples_per_token
         self._jit_s3gen()(
@@ -459,6 +503,20 @@ class TTSEngine:
                 padded[0, : len(ids)] = ids
                 lanes = np.repeat(padded, 2, axis=0)
 
+                if self.decoder is not None:
+                    n_slices = await self._produce_chunk_batched(
+                        conds, lanes, len(ids), cfg_weight, temperature,
+                        slice_size, token_q, token, i, len(text_chunks),
+                    )
+                    log.info(
+                        "[%s][T3] chunk %d/%d: %s slices (batched) in %.3fs",
+                        request_id, i + 1, len(text_chunks), n_slices,
+                        time.time() - t_start,
+                    )
+                    if n_slices < 0:  # cancelled mid-chunk
+                        return
+                    continue
+
                 def prefill():
                     return self._jit_prefill()(
                         t3p, conds.t3_cond_lanes, jnp.asarray(lanes),
@@ -515,10 +573,74 @@ class TTSEngine:
             log.exception("[%s][T3] producer error", request_id)
             self._request_errors[request_id] = f"T3: {exc}"
         finally:
-            try:
-                await token_q.put(None)
-            except Exception:
-                pass
+            # End-of-stream signal. On cancellation the consumer is likely
+            # gone, and a fresh blocking await inside `finally` deadlocks a
+            # task that is already being cancelled — use the non-blocking
+            # variant there; bounded-blocking otherwise so no slice is lost.
+            if token.is_cancelled():
+                _queue_put_final(token_q, None)
+            else:
+                try:
+                    await asyncio.wait_for(token_q.put(None), timeout=10)
+                except BaseException:
+                    _queue_put_final(token_q, None)
+
+    async def _produce_chunk_batched(
+        self,
+        conds: Conditionals,
+        lanes: np.ndarray,
+        text_len: int,
+        cfg_weight: float,
+        temperature: float,
+        slice_size: int,
+        token_q: asyncio.Queue,
+        token: CancellationToken,
+        chunk_idx: int,
+        n_chunks: int,
+    ) -> int:
+        """Decode one text chunk through the continuous-batching scheduler and
+        re-chunk its token stream into request-sized slices. Returns the slice
+        count, or -1 if cancelled."""
+        buf = np.zeros((0,), np.int32)
+        slice_idx = 0
+        pending: Optional[dict] = None
+
+        def make_item(tokens: np.ndarray, idx: int) -> dict:
+            return {
+                "tokens": tokens,
+                "chunk_idx": chunk_idx,
+                "slice_idx": idx,
+                "is_first_slice": idx == 1,
+                "is_last_slice": False,
+                "is_first_chunk": chunk_idx == 0,
+                "is_last_chunk": chunk_idx == n_chunks - 1,
+            }
+
+        async def emit(item: dict) -> bool:
+            cancelled, _ = await race_cancellation(token_q.put(item), token)
+            return not cancelled
+
+        async for row in self.decoder.decode_chunk(
+            np.asarray(conds.t3_cond_lanes), lanes, text_len, temperature,
+            0.95, cfg_weight, 1.2, self.cfg.max_new_tokens, token,
+        ):
+            buf = np.concatenate([buf, row])
+            while len(buf) >= slice_size:
+                if pending is not None and not await emit(pending):
+                    return -1
+                slice_idx += 1
+                pending = make_item(buf[:slice_size], slice_idx)
+                buf = buf[slice_size:]
+        if len(buf):
+            if pending is not None and not await emit(pending):
+                return -1
+            slice_idx += 1
+            pending = make_item(buf, slice_idx)
+        if pending is not None:
+            pending["is_last_slice"] = True
+            if not await emit(pending):
+                return -1
+        return slice_idx
 
     # -------------------------------------------------------- S3Gen producer
     async def _s3gen_producer(
@@ -630,8 +752,11 @@ class TTSEngine:
             log.exception("[%s][S3GEN] producer error", request_id)
             self._request_errors[request_id] = f"S3Gen: {exc}"
         finally:
-            try:
-                await emit(stitcher.flush())
-                await pcm_q.put(None)
-            except Exception:
-                pass
+            if token.is_cancelled():
+                _queue_put_final(pcm_q, None)
+            else:
+                try:
+                    await emit(stitcher.flush())
+                    await asyncio.wait_for(pcm_q.put(None), timeout=10)
+                except BaseException:
+                    _queue_put_final(pcm_q, None)

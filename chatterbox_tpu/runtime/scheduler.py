@@ -1,0 +1,288 @@
+"""Continuous-batching T3 decode scheduler.
+
+Replaces the reference's scale story (one request per worker process, ZMQ
+fair-queueing — SURVEY.md §2c) with the TPU-native one: N decode *slots*
+share ONE set of model weights and ONE static KV cache
+[L, 2N, S_max, H, Dh]; every jitted decode slice advances ALL slots together.
+Because autoregressive decode is weight-bandwidth-bound, stepping 16 slots
+costs nearly the same as stepping one — this is what multiplies concurrent
+real-time streams per chip.
+
+Requests join between slices (their text chunk is prefilled straight into
+their slot's cache lanes), leave on EOS/cap/cancel, and idle slots simply
+re-emit EOS inside the batch (masked, no cache advance — see
+t3_decode_slice). The asyncio surface is one `decode_chunk` async generator
+per text chunk, yielding numpy token slices.
+"""
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+from functools import partial
+from typing import AsyncGenerator, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..logging_config import log
+from ..models.t3 import T3Config, make_decode_state, t3_decode_slice
+from ..models.t3.model import t3_prefill_raw
+from .cancellation import CancellationToken
+
+
+@dataclasses.dataclass
+class _Submission:
+    cond_lanes: np.ndarray   # [2, C, D]
+    text: np.ndarray         # [2, T_pad]
+    text_len: int
+    temperature: float
+    top_p: float
+    cfg_weight: float
+    rep_penalty: float
+    max_new_tokens: int
+    cancellation: Optional[CancellationToken]
+    slot_future: asyncio.Future
+
+
+class BatchedT3Decoder:
+    def __init__(
+        self,
+        params: Dict,
+        cfg: T3Config,
+        n_slots: int = 16,
+        slice_size: int = 35,
+        seed: int = 0,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.n_slots = n_slots
+        self.slice_size = slice_size
+        L, Hk, Dh = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
+        S = cfg.max_seq_len
+        B = 2 * n_slots
+        dtype = jax.tree.leaves(params)[0].dtype
+        self.cache = {
+            "k": jnp.zeros((L, B, S, Hk, Dh), dtype),
+            "v": jnp.zeros((L, B, S, Hk, Dh), dtype),
+            "start": jnp.zeros((B,), jnp.int32),
+            "pos": jnp.zeros((B,), jnp.int32),
+        }
+        self.state = make_decode_state(
+            jax.random.PRNGKey(seed), cfg, n_slots, 0.8, 0.95, 0.5, 1.2
+        )
+        self.state["done"] = jnp.ones((n_slots,), bool)  # all slots idle
+
+        self._free: List[int] = list(range(n_slots))
+        self._queues: Dict[int, asyncio.Queue] = {}
+        self._produced: Dict[int, int] = {}
+        self._caps: Dict[int, int] = {}
+        self._cancels: Dict[int, Optional[CancellationToken]] = {}
+        self._pending: "asyncio.Queue[_Submission]" = asyncio.Queue()
+        self._wake = asyncio.Event()
+        self._task: Optional[asyncio.Task] = None
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
+        self._insert_jit = {}
+        self._reset_jit = None
+        self._finish_jit = None
+
+    # ------------------------------------------------------------ jit helpers
+    def _insert_fn(self, T_pad: int):
+        if T_pad not in self._insert_jit:
+            cfg = self.cfg
+
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def insert(big_k, big_v, starts, poss, params, cond, text, tlen, slot):
+                k, v, pad = t3_prefill_raw(params, cfg, cond, text, tlen)
+                P = cond.shape[1] + text.shape[1]
+                lane = 2 * slot
+                big_k = jax.lax.dynamic_update_slice(big_k, k, (0, lane, 0, 0, 0))
+                big_v = jax.lax.dynamic_update_slice(big_v, v, (0, lane, 0, 0, 0))
+                starts = jax.lax.dynamic_update_slice(starts, pad, (lane,))
+                poss = jax.lax.dynamic_update_slice(
+                    poss, jnp.full((2,), P, jnp.int32), (lane,)
+                )
+                return big_k, big_v, starts, poss
+
+            self._insert_jit[T_pad] = insert
+        return self._insert_jit[T_pad]
+
+    def _reset_fn(self):
+        if self._reset_jit is None:
+            cfg = self.cfg
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def reset(state, slot, temperature, top_p, cfg_w, rep_pen, sub_key):
+                one = lambda arr, val: arr.at[slot].set(val)
+                state = dict(state)
+                state["last_token"] = one(state["last_token"], cfg.start_speech_token)
+                state["step"] = one(state["step"], 0)
+                state["done"] = one(state["done"], False)
+                state["token_counts"] = state["token_counts"].at[slot].set(0)
+                state["temperature"] = one(state["temperature"], temperature)
+                state["top_p"] = one(state["top_p"], top_p)
+                state["cfg_weight"] = one(state["cfg_weight"], cfg_w)
+                state["rep_penalty"] = one(state["rep_penalty"], rep_pen)
+                state["rng"] = jax.random.fold_in(state["rng"], sub_key)
+                return state
+
+            self._reset_jit = reset
+        return self._reset_jit
+
+    def _finish_fn(self):
+        if self._finish_jit is None:
+
+            @partial(jax.jit, donate_argnums=(0,))
+            def finish(state, slot):
+                state = dict(state)
+                state["done"] = state["done"].at[slot].set(True)
+                return state
+
+            self._finish_jit = finish
+        return self._finish_jit
+
+    # ------------------------------------------------------------- lifecycle
+    def start(self) -> None:
+        """(Re)start the scheduler loop on the CURRENT running event loop.
+
+        The decoder may outlive an event loop (e.g. engine warm-up runs in one
+        asyncio.run and serving in another); a task bound to a dead loop is
+        replaced, along with the loop-affine primitives."""
+        loop = asyncio.get_running_loop()
+        if self._task is not None and not self._task.done() and self._loop is loop:
+            return
+        self._loop = loop
+        self._wake = asyncio.Event()
+        self._pending = asyncio.Queue()
+        self._task = loop.create_task(self._run())
+
+    def stop(self) -> None:
+        if self._task is not None:
+            self._task.cancel()
+            self._task = None
+
+    # -------------------------------------------------------------- client
+    async def decode_chunk(
+        self,
+        cond_lanes: np.ndarray,
+        text: np.ndarray,
+        text_len: int,
+        temperature: float,
+        top_p: float,
+        cfg_weight: float,
+        rep_penalty: float,
+        max_new_tokens: int,
+        cancellation: Optional[CancellationToken] = None,
+    ) -> AsyncGenerator[np.ndarray, None]:
+        """Yield token slices (np.int32 arrays, EOS-trimmed) for one text
+        chunk. The chunk occupies one slot until EOS / cap / cancellation."""
+        self.start()
+        fut = asyncio.get_running_loop().create_future()
+        await self._pending.put(
+            _Submission(
+                cond_lanes, text, text_len, temperature, top_p, cfg_weight,
+                rep_penalty, max_new_tokens, cancellation, fut,
+            )
+        )
+        self._wake.set()
+        slot = await fut
+        queue = self._queues[slot]
+        while True:
+            item = await queue.get()
+            if item is None:
+                break
+            yield item
+
+    # ------------------------------------------------------------ scheduler
+    async def _admit(self) -> None:
+        while self._free and not self._pending.empty():
+            sub = self._pending.get_nowait()
+            if sub.cancellation is not None and sub.cancellation.is_cancelled():
+                sub.slot_future.set_exception(asyncio.CancelledError())
+                continue
+            slot = self._free.pop(0)
+
+            def do_insert():
+                insert = self._insert_fn(sub.text.shape[1])
+                k, v, starts, poss = insert(
+                    self.cache["k"], self.cache["v"], self.cache["start"],
+                    self.cache["pos"], self.params,
+                    jnp.asarray(sub.cond_lanes), jnp.asarray(sub.text),
+                    jnp.full((2,), sub.text_len, jnp.int32), slot,
+                )
+                self.cache = {"k": k, "v": v, "start": starts, "pos": poss}
+                self.state = self._reset_fn()(
+                    self.state, slot, sub.temperature, sub.top_p,
+                    sub.cfg_weight, sub.rep_penalty,
+                    np.random.randint(0, 2**31),
+                )
+
+            await asyncio.to_thread(do_insert)
+            self._queues[slot] = asyncio.Queue()
+            self._produced[slot] = 0
+            self._caps[slot] = sub.max_new_tokens
+            self._cancels[slot] = sub.cancellation
+            sub.slot_future.set_result(slot)
+
+    def _release(self, slot: int) -> None:
+        q = self._queues.pop(slot, None)
+        if q is not None:
+            q.put_nowait(None)
+        self._produced.pop(slot, None)
+        self._caps.pop(slot, None)
+        self._cancels.pop(slot, None)
+        self._free.append(slot)
+
+    async def _run(self) -> None:
+        cfg = self.cfg
+        try:
+            while True:
+                await self._admit()
+                active = [s for s in range(self.n_slots) if s in self._queues]
+                if not active:
+                    self._wake.clear()
+                    await self._wake.wait()
+                    continue
+
+                # cancellations → force slots done
+                for slot in list(active):
+                    tok = self._cancels.get(slot)
+                    if tok is not None and tok.is_cancelled():
+                        self.state = self._finish_fn()(self.state, slot)
+                        self._release(slot)
+                        active.remove(slot)
+                if not active:
+                    continue
+
+                def run_slice():
+                    toks, cache, state = t3_decode_slice(
+                        self.params, cfg, self.cache, self.state, self.slice_size
+                    )
+                    self.cache, self.state = cache, state
+                    return np.asarray(toks), np.asarray(state["done"])
+
+                tokens, done = await asyncio.to_thread(run_slice)
+
+                for slot in active:
+                    row = tokens[slot]
+                    eos = np.where(row == cfg.stop_speech_token)[0]
+                    if len(eos):
+                        row = row[: eos[0]]
+                    cap = self._caps[slot]
+                    remaining = cap - self._produced[slot]
+                    row = row[:remaining]
+                    if len(row):
+                        self._produced[slot] += len(row)
+                        self._queues[slot].put_nowait(row)
+                    finished = bool(done[slot]) or self._produced[slot] >= cap
+                    if finished:
+                        if not bool(done[slot]):
+                            self.state = self._finish_fn()(self.state, slot)
+                        self._release(slot)
+        except asyncio.CancelledError:
+            raise
+        except Exception:
+            log.exception("Batched decoder loop crashed")
+            for slot in list(self._queues):
+                self._release(slot)
