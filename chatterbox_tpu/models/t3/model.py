@@ -223,6 +223,10 @@ def _backbone_decode_step(
     cache_valid = (idx >= start[:, None, None, None]) & (idx < pos[:, None, None, None])
     scale = 1.0 / math.sqrt(Dh)
 
+    from ...ops.pallas_attention import pallas_decode_attention, pallas_enabled
+
+    use_pallas = pallas_enabled() and jax.default_backend() == "tpu"
+
     def layer(h, xs):
         lp, kc, vc = xs
         x = rms_norm(h, lp["attn_norm"], cfg.rms_eps)
@@ -231,16 +235,21 @@ def _backbone_decode_step(
         v = _split_heads(linear(x, lp["wv"]), cfg.num_kv_heads, Dh)
         kr, vr = _maybe_repeat_kv(k, cfg), _maybe_repeat_kv(v, cfg)
         kcr, vcr = _maybe_repeat_kv(kc, cfg), _maybe_repeat_kv(vc, cfg)
-        # scores against the cache plus the current token itself
-        s_cache = jnp.einsum("bqhd,bkhd->bhqk", q, kcr, preferred_element_type=jnp.float32) * scale
-        s_cache = jnp.where(cache_valid, s_cache, NEG_INF)
-        s_self = jnp.einsum("bqhd,bqhd->bhq", q, kr, preferred_element_type=jnp.float32)[..., None] * scale
-        probs = jax.nn.softmax(jnp.concatenate([s_cache, s_self], axis=-1), axis=-1)
-        o = (
-            jnp.einsum("bhqk,bkhd->bqhd", probs[..., :S].astype(vcr.dtype), vcr, preferred_element_type=jnp.float32)
-            + probs[..., S:].transpose(0, 2, 1, 3).astype(jnp.float32)
-            * vr.astype(jnp.float32)
-        ).astype(h.dtype)
+        if use_pallas:
+            o = pallas_decode_attention(
+                q[:, 0], kcr, vcr, kr[:, 0], vr[:, 0], start, pos
+            )[:, None]  # [B, 1, H, Dh]
+        else:
+            # scores against the cache plus the current token itself
+            s_cache = jnp.einsum("bqhd,bkhd->bhqk", q, kcr, preferred_element_type=jnp.float32) * scale
+            s_cache = jnp.where(cache_valid, s_cache, NEG_INF)
+            s_self = jnp.einsum("bqhd,bqhd->bhq", q, kr, preferred_element_type=jnp.float32)[..., None] * scale
+            probs = jax.nn.softmax(jnp.concatenate([s_cache, s_self], axis=-1), axis=-1)
+            o = (
+                jnp.einsum("bhqk,bkhd->bqhd", probs[..., :S].astype(vcr.dtype), vcr, preferred_element_type=jnp.float32)
+                + probs[..., S:].transpose(0, 2, 1, 3).astype(jnp.float32)
+                * vr.astype(jnp.float32)
+            ).astype(h.dtype)
         h = h + linear(o.reshape(B, 1, -1), lp["wo"])
         x = rms_norm(h, lp["mlp_norm"], cfg.rms_eps)
         h = h + swiglu(x, lp["w_gate"], lp["w_up"], lp["w_down"])

@@ -449,27 +449,39 @@ class TTSEngine:
                 )
             )
 
+            first_pcm_at = [None]  # TTFA anchor: first actual audio, not the
+            # container header the encoder emits instantly
+
             async def pcm_generator():
                 while True:
                     cancelled, item = await race_cancellation(pcm_q.get(), cancellation_token)
                     if cancelled or item is None:
                         break
+                    if first_pcm_at[0] is None:
+                        first_pcm_at[0] = time.time()
                     yield item
 
             encoder = AudioEncoder(output_format, self.sr, log_prefix=f"[{request_id}] ")
+            from .metrics import metrics
+
+            ttfa = None
+            failed = False
             try:
                 async for out in encoder.encode(pcm_generator()):
-                    if first_chunk:
-                        log.info(
-                            "[%s] Time to first audio chunk: %.4fs",
-                            request_id, time.time() - start_time,
-                        )
+                    if first_chunk and first_pcm_at[0] is not None:
+                        ttfa = first_pcm_at[0] - start_time
+                        log.info("[%s] Time to first audio chunk: %.4fs", request_id, ttfa)
                         first_chunk = False
                     yield out
                 err = self._request_errors.pop(request_id, None)
                 if err is not None:
+                    failed = True
                     raise RuntimeError(f"synthesis pipeline failed: {err}")
             finally:
+                metrics.record_request(
+                    ttfa, time.time() - start_time, failed,
+                    cancellation_token.is_cancelled(),
+                )
                 self._request_errors.pop(request_id, None)
                 for task in (t3_task, s3_task):
                     task.cancel()
@@ -686,6 +698,9 @@ class TTSEngine:
                     break
                 t_start = time.time()
                 row = item["tokens"]
+                from .metrics import metrics
+
+                metrics.record_tokens(len(row))
                 if item["chunk_idx"] != last_chunk_idx:
                     acc_tokens = np.zeros((0,), np.int32)
                     prev_samples = 0

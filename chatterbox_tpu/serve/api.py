@@ -205,6 +205,7 @@ def register_api_routes(app: web.Application) -> None:
     @routes.get("/system-status")
     async def system_status(request: web.Request) -> web.Response:
         check_api_key(request)
+        from ..runtime.metrics import metrics
         from .telemetry import cpu_status, tpu_status
 
         engine = request.app["engine"]
@@ -215,8 +216,34 @@ def register_api_routes(app: web.Application) -> None:
                 "gpus": [],  # reference key kept for client compatibility
                 "engine": engine.get_initialization_status(),
                 "active_requests": len(request.app["active_requests"]),
+                "metrics": metrics.snapshot(),
             }
         )
+
+    @routes.post("/profile/start")
+    async def profile_start(request: web.Request) -> web.Response:
+        """Start a jax.profiler trace (TPU-native replacement for the
+        reference's absent profiling story, SURVEY.md §5.1)."""
+        check_api_key(request)
+        import jax
+
+        trace_dir = request.query.get("dir", "/tmp/chatterbox-trace")
+        if request.app.get("profiling"):
+            return web.json_response({"error": "profiling already active"}, status=409)
+        jax.profiler.start_trace(trace_dir)
+        request.app["profiling"] = trace_dir
+        return web.json_response({"message": "profiling started", "dir": trace_dir})
+
+    @routes.post("/profile/stop")
+    async def profile_stop(request: web.Request) -> web.Response:
+        check_api_key(request)
+        import jax
+
+        if not request.app.get("profiling"):
+            return web.json_response({"error": "profiling not active"}, status=409)
+        jax.profiler.stop_trace()
+        trace_dir = request.app.pop("profiling")
+        return web.json_response({"message": "profiling stopped", "dir": trace_dir})
 
     app.add_routes(routes)
     if STATIC_DIR.exists():
