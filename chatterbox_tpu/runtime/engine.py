@@ -240,7 +240,15 @@ class TTSEngine:
         k1, k2, k3, k4 = jax.random.split(key, 4)
         model_dir = Path(settings.MODEL_PATH)
         loaded = None
-        if (model_dir / "t3_cfg.safetensors").exists():
+        from .checkpoint import is_native_checkpoint
+
+        if is_native_checkpoint(model_dir):
+            from .checkpoint import load_checkpoint
+
+            self._progress = "Loading native checkpoint..."
+            loaded = load_checkpoint(model_dir, self.cfg, dtype)
+            log.info("Loaded native checkpoint from %s", model_dir)
+        elif (model_dir / "t3_cfg.safetensors").exists():
             from .loader import load_reference_checkpoint
 
             self._progress = "Loading checkpoint..."
@@ -255,8 +263,20 @@ class TTSEngine:
                 "s3tok": init_s3tok_params(k3, self.cfg.s3tok, dtype),
                 "ve": init_voice_encoder_params(k4, self.cfg.ve, dtype),
             }
-        # one bulk host→HBM transfer (init tensors are built host-side)
-        self.params = jax.device_put(self.params)
+        # Multi-chip: tensor-parallel sharding of T3 over an ICI mesh
+        # (CHATTERBOX_TP=N). Other models are small; they replicate.
+        tp = int(os.environ.get("CHATTERBOX_TP", "0") or 0)
+        if tp > 1:
+            from ..parallel import make_mesh, shard_params
+
+            self.mesh = make_mesh(dp=1, tp=tp, devices=jax.devices()[:tp])
+            t3_sharded = shard_params(self.params["t3"], self.mesh)
+            rest = jax.device_put({k: v for k, v in self.params.items() if k != "t3"})
+            self.params = {"t3": t3_sharded, **rest}
+            log.info("T3 tensor-parallel over %d devices", tp)
+        else:
+            # one bulk host→HBM transfer (init tensors are built host-side)
+            self.params = jax.device_put(self.params)
         tok_file = model_dir / "tokenizer.json"
         self.tokenizer = TextTokenizer(str(tok_file) if tok_file.exists() else None,
                                        self.cfg.t3.text_vocab_size)
