@@ -83,11 +83,18 @@ def main() -> None:
         "pos": jnp.full((Bb,), 128, jnp.int32),
     }
     state_b = make_decode_state(jax.random.PRNGKey(4), t3c, n_slots, 0.8, 0.95, 0.5, 1.2)
-    toks, cache_b, state_b = t3_decode_slice(t3_params, t3c, cache_b, state_b, slice_tokens)
+    # typical serving view: sequences average well below the full budget, and
+    # the scheduler buckets attention to the filled prefix (s_view)
+    s_view = min(t3c.max_seq_len, 768)
+    toks, cache_b, state_b = t3_decode_slice(
+        t3_params, t3c, cache_b, state_b, slice_tokens, s_view
+    )
     jax.block_until_ready(toks)
     t0 = time.perf_counter()
     for _ in range(n_slices):
-        toks, cache_b, state_b = t3_decode_slice(t3_params, t3c, cache_b, state_b, slice_tokens)
+        toks, cache_b, state_b = t3_decode_slice(
+            t3_params, t3c, cache_b, state_b, slice_tokens, s_view
+        )
     jax.block_until_ready(toks)
     t3_batched_slice_s = (time.perf_counter() - t0) / n_slices
 

@@ -359,25 +359,42 @@ def _invalid_token_mask(cfg: T3Config) -> jnp.ndarray:
     return jnp.where(allowed, 0.0, NEG_INF)
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_steps"), donate_argnames=("cache", "state"))
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "s_view"),
+    donate_argnames=("cache", "state"),
+)
 def t3_decode_slice(
     params: Params,
     cfg: T3Config,
     cache: Dict,
     state: Dict,
     n_steps: int,
+    s_view: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Dict, Dict]:
     """Generate `n_steps` speech tokens in one on-device scan.
 
     Returns (tokens [R, n_steps] int32, cache, state). Requests that hit EOS
     keep emitting stop_speech_token; the host trims them. Lanes are laid out
     [r0-cond, r0-uncond, r1-cond, ...] (2 lanes per request for CFG).
+
+    ``s_view`` (static) limits attention to the first s_view cache entries —
+    decode is cache-bandwidth-bound, so reading only the filled prefix
+    instead of the whole static budget is a large win early in a request.
+    The caller must guarantee max(pos) + n_steps <= s_view.
     """
     R = state["last_token"].shape[0]
     token_mask = _invalid_token_mask(cfg)
 
     def step(carry, _):
         cache, state = carry
+        if s_view is not None:
+            attn_cache = {
+                "k": jax.lax.slice_in_dim(cache["k"], 0, s_view, axis=2),
+                "v": jax.lax.slice_in_dim(cache["v"], 0, s_view, axis=2),
+            }
+        else:
+            attn_cache = cache
         # A finished (or empty batching) slot must not advance its cache
         # position or speech step — it idles in place, re-emitting EOS.
         active_lanes = jnp.repeat(~state["done"], 2)
@@ -387,7 +404,7 @@ def t3_decode_slice(
         if cfg.learned_pos_emb:
             h = h + params["speech_pos"][step_lanes][:, None, :]
         hidden, k_new, v_new = _backbone_decode_step(
-            params, cfg, h, cache["k"], cache["v"], cache["start"], cache["pos"]
+            params, cfg, h, attn_cache["k"], attn_cache["v"], cache["start"], cache["pos"]
         )
         cache = {
             "k": _write_cache(cache["k"], k_new, cache["pos"]),

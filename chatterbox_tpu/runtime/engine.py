@@ -564,14 +564,17 @@ class TTSEngine:
                 produced = 0
                 slice_idx = 0
                 done = False
+                pos0 = t3c.cond_len + T_pad
                 while produced < self.cfg.max_new_tokens and not done:
                     if token.is_cancelled():
                         break
                     n = min(slice_size, self.cfg.max_new_tokens - produced)
+                    need = pos0 + produced + n + 1
+                    s_view = min(t3c.max_seq_len, ((need + 255) // 256) * 256)
 
                     def run_slice():
                         toks, new_cache, new_state = t3_decode_slice(
-                            t3p, t3c, cache, state, n
+                            t3p, t3c, cache, state, n, s_view
                         )
                         return np.asarray(toks), new_cache, new_state
 

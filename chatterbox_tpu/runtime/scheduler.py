@@ -76,6 +76,7 @@ class BatchedT3Decoder:
 
         self._free: List[int] = list(range(n_slots))
         self._queues: Dict[int, asyncio.Queue] = {}
+        self._pos_host: Dict[int, int] = {}  # host-tracked cache fill per slot
         self._produced: Dict[int, int] = {}
         self._caps: Dict[int, int] = {}
         self._cancels: Dict[int, Optional[CancellationToken]] = {}
@@ -220,6 +221,7 @@ class BatchedT3Decoder:
 
             await asyncio.to_thread(do_insert)
             self._queues[slot] = asyncio.Queue()
+            self._pos_host[slot] = self.cfg.cond_len + sub.text.shape[1]
             self._produced[slot] = 0
             self._caps[slot] = sub.max_new_tokens
             self._cancels[slot] = sub.cancellation
@@ -229,6 +231,7 @@ class BatchedT3Decoder:
         q = self._queues.pop(slot, None)
         if q is not None:
             q.put_nowait(None)
+        self._pos_host.pop(slot, None)
         self._produced.pop(slot, None)
         self._caps.pop(slot, None)
         self._cancels.pop(slot, None)
@@ -255,14 +258,24 @@ class BatchedT3Decoder:
                 if not active:
                     continue
 
+                # Attend only the filled cache prefix (bucketed, static):
+                # decode is cache-bandwidth-bound and most requests are far
+                # below the full sequence budget.
+                max_pos = max(self._pos_host[s] for s in active)
+                need = max_pos + self.slice_size + 1
+                s_view = min(cfg.max_seq_len, ((need + 255) // 256) * 256)
+
                 def run_slice():
                     toks, cache, state = t3_decode_slice(
-                        self.params, cfg, self.cache, self.state, self.slice_size
+                        self.params, cfg, self.cache, self.state,
+                        self.slice_size, s_view,
                     )
                     self.cache, self.state = cache, state
                     return np.asarray(toks), np.asarray(state["done"])
 
                 tokens, done = await asyncio.to_thread(run_slice)
+                for s in active:
+                    self._pos_host[s] += self.slice_size
 
                 for slot in active:
                     row = tokens[slot]
