@@ -215,12 +215,71 @@ class TTSEngine:
             self._state = InitializationState.READY
             self._progress = "Model ready"
             log.info("Engine ready on %s", jax.devices()[0])
+            if os.environ.get("CHATTERBOX_PRECOMPILE", "1") == "1":
+                asyncio.ensure_future(self._precompile())
         except Exception as exc:  # pragma: no cover - defensive
             self._state = InitializationState.ERROR
             self._error = str(exc)
             self._progress = f"Failed: {exc}"
             log.exception("Engine initialization failed")
             raise
+
+    async def _precompile(self) -> None:
+        """Background-compile the remaining graph variants (S3Gen token
+        buckets, decode attention views) via lower().compile(), populating
+        the persistent XLA cache so first requests never pay a compile.
+        Uses abstract shapes — no device memory is allocated."""
+        shape_of = lambda tree: jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree
+        )
+        tts_cfg = get_tts_config()
+        slice_size = max(1, min(tts_cfg.AUDIO_TOKENS_PER_SLICE, self.cfg.max_new_tokens))
+        t3c = self.cfg.t3
+        s3c = self.cfg.s3gen
+        spt = s3c.samples_per_token
+        compiled = 0
+        try:
+            conds = self.voice_cache["default"]
+            ref_shapes = shape_of(conds.gen_ref)
+            params_shapes = shape_of(self.params)
+            key_shape = jax.ShapeDtypeStruct((2,), jnp.uint32)
+            for T in _token_bucket_sizes(slice_size, t3c.max_speech_tokens + 8):
+                def compile_bucket(T=T):
+                    self._jit_s3gen().lower(
+                        params_shapes["s3gen"],
+                        jax.ShapeDtypeStruct((1, T), jnp.int32),
+                        jax.ShapeDtypeStruct((1,), jnp.int32),
+                        ref_shapes,
+                        jax.ShapeDtypeStruct((1, T * spt), jnp.float32),
+                        jax.ShapeDtypeStruct((1,), jnp.int32),
+                        key_shape,
+                    ).compile()
+
+                await asyncio.to_thread(compile_bucket)
+                compiled += 1
+            if self.decoder is not None:
+                cache_shapes = shape_of(self.decoder.cache)
+                state_shapes = shape_of(self.decoder.state)
+                views = sorted(
+                    {
+                        min(t3c.max_seq_len, ((v + 255) // 256) * 256)
+                        for v in range(256, t3c.max_seq_len + 256, 256)
+                    }
+                )
+                for s_view in views:
+                    def compile_view(s_view=s_view):
+                        t3_decode_slice.lower(
+                            params_shapes["t3"], t3c, cache_shapes, state_shapes,
+                            slice_size, s_view,
+                        ).compile()
+
+                    await asyncio.to_thread(compile_view)
+                    compiled += 1
+            log.info("Precompiled %d graph variants in the background", compiled)
+        except asyncio.CancelledError:
+            raise
+        except Exception:
+            log.warning("Background precompilation failed (continuing)", exc_info=True)
 
     async def _warmup_decoder(self) -> None:
         """Compile the batched insert + decode graphs by pushing one dummy
@@ -235,6 +294,18 @@ class TTSEngine:
 
     def _init_models(self) -> None:
         settings = get_settings()
+        # Persistent XLA compilation cache: decode/synthesis graph variants
+        # survive process restarts, so a restarted server is warm immediately.
+        cache_dir = os.environ.get(
+            "CHATTERBOX_COMPILE_CACHE", os.path.expanduser("~/.cache/chatterbox-tpu-xla")
+        )
+        if cache_dir and cache_dir != "0":
+            try:
+                os.makedirs(cache_dir, exist_ok=True)
+                jax.config.update("jax_compilation_cache_dir", cache_dir)
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            except Exception:
+                log.warning("could not enable the XLA compilation cache", exc_info=True)
         dtype = jnp.bfloat16 if self.cfg.param_dtype == "bfloat16" else jnp.float32
         key = jax.random.PRNGKey(self.seed)
         k1, k2, k3, k4 = jax.random.split(key, 4)

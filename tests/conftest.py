@@ -11,6 +11,9 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+os.environ.setdefault("CHATTERBOX_PRECOMPILE", "0")  # keep test loops quiet
+os.environ.setdefault("CHATTERBOX_COMPILE_CACHE", "0")
+
 import jax
 
 # The axon TPU plugin ignores JAX_PLATFORMS, so force the CPU backend
