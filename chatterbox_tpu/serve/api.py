@@ -169,6 +169,12 @@ def register_api_routes(app: web.Application) -> None:
         try:
             vm.save_voice(filename, bytes(contents))
         except FileExistsError as exc:
+            # Still warm the cache: on shared storage a broadcast upload can
+            # land as a duplicate here while this node's cache is cold.
+            engine = request.app["engine"]
+            path = vm.get_voice_path(filename)
+            if path and filename not in engine.voice_cache:
+                asyncio.ensure_future(asyncio.to_thread(engine.prepare_conditionals, path))
             return web.json_response({"detail": str(exc)}, status=409)
         except ValueError as exc:
             return web.json_response({"detail": str(exc)}, status=400)

@@ -123,6 +123,13 @@ def create_app(engine: Optional[TTSEngine] = None, warm_voices: bool = True) -> 
 
 
 def main() -> None:
+    import os
+
+    if os.environ.get("CHATTERBOX_FORCE_CPU") == "1":
+        # the TPU plugin ignores JAX_PLATFORMS; this is the reliable override
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     settings = get_settings()
     configure_logging(settings.LOG_LEVEL, tag="SERVER")
     app = create_app()

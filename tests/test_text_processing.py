@@ -91,3 +91,44 @@ def test_segmenter_abbreviations():
 def test_segmenter_basic():
     sents = segment_sentences("Hello there! How are you? I am fine.")
     assert sents == ["Hello there!", "How are you?", "I am fine."]
+
+
+def test_marvin_story_chunking():
+    """The reference author's original stress case (commented harness at
+    text_processing.py:198-227): multi-paragraph prose with smart quotes,
+    em-dashes, parentheses and dialogue, chunked at 80 chars."""
+    text = (
+        "In a small coastal town where the waves whispered secrets to the shore, "
+        "lived a cat named Marvin. Marvin wasn’t your ordinary cat—he wore round "
+        "spectacles (don’t ask how they stayed on) and spent most of his afternoons "
+        "reading newspapers in the town library’s window.\n\n"
+        "Everyone assumed Marvin was just a quirky feline with a taste for sunlight "
+        "and paper. But Marvin had a secret: he could understand everything.\n\n"
+        "“Seriously?” Marvin meowed.\n\n"
+        "Rollo shrugged. “Shiny. Smelled like soup. You understand.”\n\n"
+        "Because some cats don’t chase mice. Some cats solve mysteries."
+    )
+    chunks = split_text_into_chunks(text, 80)
+    assert len(chunks) >= 5
+    # length constraint with the 10% merge buffer
+    assert all(len(c) <= 88 for c in chunks), [(len(c), c) for c in chunks if len(c) > 88]
+    # no words lost (modulo punctuation normalization)
+    norm = lambda s: "".join(ch for ch in s.lower() if ch.isalnum())
+    assert norm("".join(chunks)).startswith(norm("In a small coastal town")[:20])
+    assert "mysteries" in chunks[-1]
+    # smart punctuation normalized away
+    joined = " ".join(chunks)
+    assert all(ch not in joined for ch in "“”’—")
+
+
+def test_very_long_continuous_text():
+    """Punctuation-free prose: pure word-splitting with no orphaned words
+    (reference harness case 'Very Long Continuous Text', max_length 70)."""
+    words = ("robust chunking logic handles continuous prose without any "
+             "punctuation cues relying purely on maximum length and merging "
+             "rules ").split()
+    text = " ".join(words * 40)  # ~2.4k chars, no sentence enders
+    chunks = split_text_into_chunks(text, 70)
+    assert len(chunks) > 10
+    assert all(len(c) <= 77 for c in chunks)
+    assert all(len(c.split()) >= 2 for c in chunks)
