@@ -44,6 +44,9 @@ class S3GenConfig:
     dit_ffn: int = 2048
     cfm_steps: int = 10
     sigma_min: float = 1e-6
+    # classifier-free guidance inside the flow ODE (reference family uses
+    # guided CFM); 0 disables the second estimator pass
+    cfm_cfg_rate: float = 0.7
 
     # speaker embedding
     spk_dim: int = 192

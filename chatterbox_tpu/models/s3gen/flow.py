@@ -120,21 +120,46 @@ def cfm_generate(
     spk: jnp.ndarray,         # [B, spk_dim]
     valid: jnp.ndarray,       # [B, T]
 ) -> jnp.ndarray:
-    """Euler-integrate the flow ODE from noise to mel. [B, T, M]."""
+    """Euler-integrate the flow ODE from noise to mel. [B, T, M].
+
+    With ``cfg.cfm_cfg_rate > 0`` each step runs a classifier-free-guided
+    estimate: the conditional and unconditional (zeroed conditioning) passes
+    are stacked into one batch-2B estimator call, and
+    v = (1+r)·v_cond − r·v_uncond.
+    """
     B, T, M = mu.shape
     x = jax.random.normal(key, (B, T, M), jnp.float32)
     # cosine time schedule: finer steps near t=0 where the flow bends most
     i = jnp.arange(cfg.cfm_steps + 1, dtype=jnp.float32) / cfg.cfm_steps
     ts = 1.0 - jnp.cos(i * math.pi / 2.0)
     dts = ts[1:] - ts[:-1]
+    r = cfg.cfm_cfg_rate
 
-    def euler_step(x, step):
-        t_now, dt = step
-        v = estimator(
-            params, cfg, x, mu, cond_mel, prompt_flag,
-            spk, jnp.full((B,), t_now), valid,
-        )
-        return x + dt * v, None
+    if r > 0:
+        mu2 = jnp.concatenate([mu, jnp.zeros_like(mu)], axis=0)
+        cond2 = jnp.concatenate([cond_mel, jnp.zeros_like(cond_mel)], axis=0)
+        flag2 = jnp.concatenate([prompt_flag, jnp.zeros_like(prompt_flag)], axis=0)
+        spk2 = jnp.concatenate([spk, jnp.zeros_like(spk)], axis=0)
+        valid2 = jnp.concatenate([valid, valid], axis=0)
+
+        def euler_step(x, step):
+            t_now, dt = step
+            x2 = jnp.concatenate([x, x], axis=0)
+            v2 = estimator(
+                params, cfg, x2, mu2, cond2, flag2,
+                spk2, jnp.full((2 * B,), t_now), valid2,
+            )
+            v = (1.0 + r) * v2[:B] - r * v2[B:]
+            return x + dt * v, None
+    else:
+
+        def euler_step(x, step):
+            t_now, dt = step
+            v = estimator(
+                params, cfg, x, mu, cond_mel, prompt_flag,
+                spk, jnp.full((B,), t_now), valid,
+            )
+            return x + dt * v, None
 
     x, _ = jax.lax.scan(euler_step, x, (ts[:-1], dts))
     return x

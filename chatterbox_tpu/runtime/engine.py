@@ -111,6 +111,14 @@ def _bucket(n: int, step: int, cap: int) -> int:
     return min(cap, max(step, int(math.ceil(n / step)) * step))
 
 
+def _stable_seed(request_id: str) -> int:
+    """Process-independent seed from a request id (Python's hash() is salted
+    per process, which would make synthesis irreproducible across runs)."""
+    import zlib
+
+    return zlib.crc32(request_id.encode()) & 0x7FFFFFFF
+
+
 def _queue_put_final(q: asyncio.Queue, item) -> None:
     """Best-effort non-blocking sentinel put (drops one stale entry if full)."""
     try:
@@ -610,6 +618,7 @@ class TTSEngine:
                     n_slices = await self._produce_chunk_batched(
                         conds, lanes, len(ids), cfg_weight, temperature,
                         slice_size, token_q, token, i, len(text_chunks),
+                        request_id,
                     )
                     log.info(
                         "[%s][T3] chunk %d/%d: %s slices (batched) in %.3fs",
@@ -628,7 +637,9 @@ class TTSEngine:
 
                 cache = await asyncio.to_thread(prefill)
                 state = make_decode_state(
-                    jax.random.fold_in(jax.random.PRNGKey(self.seed), hash(request_id) % (2**31) + i),
+                    jax.random.fold_in(
+                        jax.random.PRNGKey(self.seed), _stable_seed(request_id) + i
+                    ),
                     t3c, 1, temperature, 0.95, cfg_weight, 1.2,
                 )
 
@@ -703,6 +714,7 @@ class TTSEngine:
         token: CancellationToken,
         chunk_idx: int,
         n_chunks: int,
+        request_id: str = "",
     ) -> int:
         """Decode one text chunk through the continuous-batching scheduler and
         re-chunk its token stream into request-sized slices. Returns the slice
@@ -729,6 +741,7 @@ class TTSEngine:
         async for row in self.decoder.decode_chunk(
             np.asarray(conds.t3_cond_lanes), lanes, text_len, temperature,
             0.95, cfg_weight, 1.2, self.cfg.max_new_tokens, token,
+            seed=_stable_seed(request_id) + chunk_idx,
         ):
             buf = np.concatenate([buf, row])
             while len(buf) >= slice_size:
@@ -770,7 +783,7 @@ class TTSEngine:
         stitcher = CrossfadeStitcher(fade_len)
         buckets = _token_bucket_sizes(slice_size, self.cfg.t3.max_speech_tokens + 8)
         # request-stable noise key → deterministic re-synthesis (seam continuity)
-        base_key = jax.random.fold_in(jax.random.PRNGKey(1234), hash(request_id) % (2**31))
+        base_key = jax.random.fold_in(jax.random.PRNGKey(1234), _stable_seed(request_id))
 
         acc_tokens = np.zeros((0,), np.int32)
         prev_samples = 0

@@ -44,6 +44,7 @@ class _Submission:
     max_new_tokens: int
     cancellation: Optional[CancellationToken]
     slot_future: asyncio.Future
+    seed: int = 0
 
 
 class BatchedT3Decoder:
@@ -175,6 +176,7 @@ class BatchedT3Decoder:
         rep_penalty: float,
         max_new_tokens: int,
         cancellation: Optional[CancellationToken] = None,
+        seed: int = 0,
     ) -> AsyncGenerator[np.ndarray, None]:
         """Yield token slices (np.int32 arrays, EOS-trimmed) for one text
         chunk. The chunk occupies one slot until EOS / cap / cancellation."""
@@ -183,7 +185,7 @@ class BatchedT3Decoder:
         await self._pending.put(
             _Submission(
                 cond_lanes, text, text_len, temperature, top_p, cfg_weight,
-                rep_penalty, max_new_tokens, cancellation, fut,
+                rep_penalty, max_new_tokens, cancellation, fut, seed,
             )
         )
         self._wake.set()
@@ -215,8 +217,7 @@ class BatchedT3Decoder:
                 self.cache = {"k": k, "v": v, "start": starts, "pos": poss}
                 self.state = self._reset_fn()(
                     self.state, slot, sub.temperature, sub.top_p,
-                    sub.cfg_weight, sub.rep_penalty,
-                    np.random.randint(0, 2**31),
+                    sub.cfg_weight, sub.rep_penalty, sub.seed,
                 )
 
             await asyncio.to_thread(do_insert)
