@@ -42,8 +42,9 @@ class T3Config:
     rope_theta: float = 10000.0
     rms_eps: float = 1e-5
 
-    # Sequence budget
-    max_text_tokens: int = 128   # bucket ceiling for one ≤150-char chunk
+    # Sequence budget. 160 covers a 150-char chunk even with the 1-token-per-
+    # char fallback tokenizer (BPE needs ~60); +SOT/EOT.
+    max_text_tokens: int = 160
     max_speech_tokens: int = 1024  # ≥ reference's 1000-token decode cap
     learned_pos_emb: bool = True
 
