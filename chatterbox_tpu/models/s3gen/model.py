@@ -47,12 +47,16 @@ def s3gen_embed_ref(
     fbank_16k: jnp.ndarray,      # [B, Tf, 80] fbank of the 16 kHz reference
     prompt_tokens: jnp.ndarray,  # [B, P] from the speech tokenizer (≤ 6 s)
     prompt_len: jnp.ndarray,     # [B]
+    fbank_len: jnp.ndarray | None = None,  # [B] valid fbank frames
 ) -> Dict:
     """Build the conditioning dict for a voice (cached per voice_id)."""
     mel = log_mel_spectrogram(ref_wav_24k, cfg.sample_rate, cfg.n_fft, cfg.hop, cfg.n_mels)
     mel = mel[:, : cfg.max_prompt_mel]
     pm_len = jnp.minimum(prompt_len * cfg.frames_per_token, mel.shape[1])
-    spk = xvector_embed(params["xvector"], fbank_16k)
+    fb_valid = None
+    if fbank_len is not None:
+        fb_valid = jnp.arange(fbank_16k.shape[1])[None, :] < fbank_len[:, None]
+    spk = xvector_embed(params["xvector"], fbank_16k, fb_valid)
     P = cfg.max_prompt_tokens
     prompt_tokens = prompt_tokens[:, :P]
     if prompt_tokens.shape[1] < P:

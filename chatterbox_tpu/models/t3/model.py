@@ -112,28 +112,39 @@ def init_t3_params(key: jax.Array, cfg: T3Config, dtype=jnp.float32) -> Params:
 
 
 # ---------------------------------------------------------------- conditioning
-def _mha(x_q, x_kv, p, heads: int):
-    """Simple bidirectional multi-head attention used by the perceiver."""
+def _mha(x_q, x_kv, p, heads: int, kv_valid: Optional[jnp.ndarray] = None):
+    """Simple bidirectional multi-head attention used by the perceiver.
+    kv_valid: [B, Sk] bool — masks padded key positions."""
     B, Sq, D = x_q.shape
     Dh = D // heads
     q = linear(x_q, p["wq"]).reshape(B, Sq, heads, Dh)
     k = linear(x_kv, p["wk"]).reshape(B, -1, heads, Dh)
     v = linear(x_kv, p["wv"]).reshape(B, -1, heads, Dh)
-    full = jnp.ones((B, 1, Sq, k.shape[1]), dtype=bool)
-    o = causal_attention(q, k, v, mask=full)
+    if kv_valid is None:
+        mask = jnp.ones((B, 1, Sq, k.shape[1]), dtype=bool)
+    else:
+        mask = jnp.broadcast_to(kv_valid[:, None, None, :], (B, 1, Sq, k.shape[1]))
+    o = causal_attention(q, k, v, mask=mask)
     return linear(o.reshape(B, Sq, D), p["wo"])
 
 
-def perceiver_resample(p: Params, cfg: T3Config, prompt_emb: jnp.ndarray) -> jnp.ndarray:
-    """Compress [B, P, D] prompt embeddings to [B, N, D] latents."""
+def perceiver_resample(
+    p: Params,
+    cfg: T3Config,
+    prompt_emb: jnp.ndarray,
+    prompt_valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Compress [B, P, D] prompt embeddings to [B, N, D] latents.
+    prompt_valid: [B, P] bool — padded prompt positions are not attended."""
     B = prompt_emb.shape[0]
     lat = jnp.broadcast_to(p["latents"][None], (B,) + p["latents"].shape).astype(prompt_emb.dtype)
-    # cross-attention: latents attend to the prompt
+    # cross-attention: latents attend to the (valid) prompt
     lat = lat + _mha(
         rms_norm(lat, p["cross"]["norm_q"]),
         rms_norm(prompt_emb, p["cross"]["norm_kv"]),
         p["cross"],
         cfg.perceiver_heads,
+        kv_valid=prompt_valid,
     )
     # self-attention among latents
     x = rms_norm(lat, p["self"]["norm"])
@@ -150,14 +161,23 @@ def cond_embeddings(
     speaker_emb: jnp.ndarray,     # [B, speaker_embed_dim]
     prompt_tokens: jnp.ndarray,   # [B, speech_cond_prompt_len] int32
     emotion_adv: jnp.ndarray,     # [B] exaggeration scalar
+    prompt_len: Optional[jnp.ndarray] = None,  # [B] valid prompt token counts
 ) -> jnp.ndarray:
     """Build the conditioning prefix [B, C, D]:
-    [speaker] + prompt speech tokens (perceiver-resampled) + [emotion]."""
+    [speaker] + prompt speech tokens (perceiver-resampled) + [emotion].
+    Padded prompt positions (short reference clips) are masked out of the
+    resampler / zeroed so they cannot contaminate the voice conditioning."""
     c = params["cond"]
     spk = linear(speaker_emb, c["spkr"]["w"], c["spkr"]["b"])[:, None, :]
     prompt = params["speech_emb"][prompt_tokens]
+    P = prompt_tokens.shape[1]
+    valid = None
+    if prompt_len is not None:
+        valid = jnp.arange(P)[None, :] < prompt_len[:, None]
     if cfg.use_perceiver_resampler:
-        prompt = perceiver_resample(c["perceiver"], cfg, prompt)
+        prompt = perceiver_resample(c["perceiver"], cfg, prompt, valid)
+    elif valid is not None:
+        prompt = jnp.where(valid[:, :, None], prompt, 0.0)
     emo = linear(emotion_adv[:, None], c["emotion"]["w"], c["emotion"]["b"])[:, None, :]
     return jnp.concatenate([spk, prompt, emo], axis=1)
 
@@ -339,12 +359,15 @@ def make_decode_state(
 ) -> Dict:
     R = num_requests
     as_vec = lambda x: jnp.broadcast_to(jnp.asarray(x, jnp.float32), (R,))
+    # Per-slot RNG keys: sampling for one request must not depend on what the
+    # other batch slots are doing (or on global scheduler history).
+    slot_keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(jnp.arange(R))
     return {
         "last_token": jnp.full((R,), cfg.start_speech_token, jnp.int32),
         "step": jnp.zeros((R,), jnp.int32),
         "done": jnp.zeros((R,), bool),
         "token_counts": jnp.zeros((R, cfg.speech_vocab_size), jnp.int32),
-        "rng": rng,
+        "slot_keys": slot_keys,
         "temperature": as_vec(temperature),
         "top_p": as_vec(top_p),
         "cfg_weight": as_vec(cfg_weight),
@@ -425,7 +448,7 @@ def t3_decode_slice(
         guided = jnp.where(
             seen, jnp.where(guided > 0, guided / rp, guided * rp), guided
         )
-        key, sub = jax.random.split(state["rng"])
+        sub_keys = jax.vmap(jax.random.fold_in)(state["slot_keys"], state["step"])
         filtered = guided / jnp.maximum(state["temperature"][:, None], 1e-4)
         # top-p per request (top_p is a traced vector → inline nucleus filter)
         sorted_logits = jnp.sort(filtered, axis=-1)[:, ::-1]
@@ -434,7 +457,7 @@ def t3_decode_slice(
         keep = cum_before < state["top_p"][:, None]
         thresh = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True)
         filtered = jnp.where(filtered >= thresh, filtered, NEG_INF)
-        sampled = jax.random.categorical(sub, filtered, axis=-1)
+        sampled = jax.vmap(lambda k, lg: jax.random.categorical(k, lg))(sub_keys, filtered)
         greedy = jnp.argmax(guided, axis=-1)
         token = jnp.where(state["temperature"] <= 0.0, greedy, sampled).astype(jnp.int32)
         token = jnp.where(state["done"], cfg.stop_speech_token, token)
@@ -449,7 +472,6 @@ def t3_decode_slice(
             "step": state["step"] + active.astype(jnp.int32),
             "done": done,
             "token_counts": counts,
-            "rng": key,
         }
         return (cache, state), token
 

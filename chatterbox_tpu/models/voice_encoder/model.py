@@ -89,8 +89,17 @@ def _embed_frames(params: Dict, cfg: VoiceEncoderConfig, mel: jnp.ndarray) -> jn
     return emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-6)
 
 
-def voice_embed(params: Dict, cfg: VoiceEncoderConfig, wav_16k: jnp.ndarray) -> jnp.ndarray:
-    """[B, L] → [B, embed_dim]: windowed partial embeddings, mean, re-norm."""
+def voice_embed(
+    params: Dict,
+    cfg: VoiceEncoderConfig,
+    wav_16k: jnp.ndarray,
+    wav_len: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """[B, L] → [B, embed_dim]: windowed partial embeddings, mean, re-norm.
+
+    wav_len masks windows that fall past the valid samples (reference clips
+    are zero-padded to a static length; averaging silence windows would pull
+    the embedding toward a silence centroid)."""
     mel = log_mel_spectrogram(wav_16k, cfg.sample_rate, cfg.n_fft, cfg.hop, cfg.n_mels)
     B, T, M = mel.shape
     W, Hp = cfg.window_frames, cfg.window_hop
@@ -102,5 +111,13 @@ def voice_embed(params: Dict, cfg: VoiceEncoderConfig, wav_16k: jnp.ndarray) -> 
     windows = mel[:, idx]                      # [B, n_win, W, M]
     flat = windows.reshape(B * n_win, W, M)
     embs = _embed_frames(params, cfg, flat).reshape(B, n_win, -1)
-    mean = embs.mean(axis=1)
+    if wav_len is not None:
+        frame_len = wav_len // cfg.hop
+        starts = jnp.arange(n_win) * Hp
+        win_valid = starts[None, :] < jnp.maximum(frame_len[:, None] - W // 2, 1)
+        win_valid = win_valid | (jnp.arange(n_win)[None, :] == 0)  # ≥1 window
+        w = win_valid[:, :, None].astype(embs.dtype)
+        mean = (embs * w).sum(axis=1) / jnp.maximum(w.sum(axis=1), 1.0)
+    else:
+        mean = embs.mean(axis=1)
     return mean / jnp.maximum(jnp.linalg.norm(mean, axis=-1, keepdims=True), 1e-6)

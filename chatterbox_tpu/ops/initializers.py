@@ -30,7 +30,27 @@ def rng_stream(key: jax.Array, n: int = 1024) -> Iterator[np.random.Generator]:
         yield np.random.default_rng(int(s))
 
 
+_SHAPE_ONLY = False
+
+
+class shape_only_init:
+    """Context manager: init functions return ShapeDtypeStructs instead of
+    materializing tensors — used to build structural templates (e.g. for
+    checkpoint loading) without RNG work or device allocation."""
+
+    def __enter__(self):
+        global _SHAPE_ONLY
+        self._prev = _SHAPE_ONLY
+        _SHAPE_ONLY = True
+
+    def __exit__(self, *exc):
+        global _SHAPE_ONLY
+        _SHAPE_ONLY = self._prev
+
+
 def dense_init(rng: np.random.Generator, shape, dtype, scale: Optional[float] = None) -> jnp.ndarray:
+    if _SHAPE_ONLY:
+        return jax.ShapeDtypeStruct(tuple(shape), jnp.dtype(dtype))
     fan_in = shape[-2] if len(shape) >= 2 else shape[-1]
     scale = scale if scale is not None else 1.0 / math.sqrt(fan_in)
     arr = (rng.standard_normal(shape, dtype=np.float32) * scale)

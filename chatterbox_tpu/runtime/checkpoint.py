@@ -88,15 +88,18 @@ def load_checkpoint(path: str | Path, engine_cfg, dtype) -> Dict:
     from ..models.t3 import init_t3_params
     from ..models.voice_encoder import init_voice_encoder_params
 
+    from ..ops.initializers import shape_only_init
+
     path = Path(path)
     key = jax.random.PRNGKey(0)
     k1, k2, k3, k4 = jax.random.split(key, 4)
-    templates = {
-        "t3": init_t3_params(k1, engine_cfg.t3, dtype),
-        "s3gen": init_s3gen_params(k2, engine_cfg.s3gen, dtype),
-        "s3tok": init_s3tok_params(k3, engine_cfg.s3tok, dtype),
-        "ve": init_voice_encoder_params(k4, engine_cfg.ve, dtype),
-    }
+    with shape_only_init():  # structural templates only — no RNG/allocation
+        templates = {
+            "t3": init_t3_params(k1, engine_cfg.t3, dtype),
+            "s3gen": init_s3gen_params(k2, engine_cfg.s3gen, dtype),
+            "s3tok": init_s3tok_params(k3, engine_cfg.s3tok, dtype),
+            "ve": init_voice_encoder_params(k4, engine_cfg.ve, dtype),
+        }
     params = {}
     for name, template in templates.items():
         flat = load_file(str(path / f"{name}.safetensors"))

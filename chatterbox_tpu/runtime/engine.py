@@ -283,6 +283,34 @@ class TTSEngine:
 
                     await asyncio.to_thread(compile_view)
                     compiled += 1
+            else:
+                # single-slot serving path: warm the per-request decode views
+                # for the smallest text bucket (the common case)
+                P = t3c.cond_len + self.cfg.text_bucket
+                depth = P + 1 + t3c.max_speech_tokens
+                Hk, Dh, L = t3c.num_kv_heads, t3c.head_dim, t3c.num_layers
+                dt = jax.tree.leaves(self.params["t3"])[0].dtype
+                cache_shapes = {
+                    "k": jax.ShapeDtypeStruct((L, 2, depth, Hk, Dh), dt),
+                    "v": jax.ShapeDtypeStruct((L, 2, depth, Hk, Dh), dt),
+                    "start": jax.ShapeDtypeStruct((2,), jnp.int32),
+                    "pos": jax.ShapeDtypeStruct((2,), jnp.int32),
+                }
+                state_shapes = shape_of(
+                    make_decode_state(jax.random.PRNGKey(0), t3c, 1, 0.8, 0.95, 0.5, 1.2)
+                )
+                views = sorted(
+                    {min(depth, v) for v in range(256, depth + 256, 256)}
+                )
+                for s_view in views:
+                    def compile_view(s_view=s_view):
+                        t3_decode_slice.lower(
+                            params_shapes["t3"], t3c, cache_shapes, state_shapes,
+                            slice_size, s_view,
+                        ).compile()
+
+                    await asyncio.to_thread(compile_view)
+                    compiled += 1
             log.info("Precompiled %d graph variants in the background", compiled)
         except asyncio.CancelledError:
             raise
@@ -376,8 +404,12 @@ class TTSEngine:
             state = make_decode_state(
                 jax.random.PRNGKey(0), self.cfg.t3, 1, 0.8, 0.95, 0.5, 1.2
             )
+            # warm the SAME s_view variant the serving path uses first
+            pos0 = self.cfg.t3.cond_len + self.cfg.text_bucket
+            cache_depth = pos0 + 1 + self.cfg.t3.max_speech_tokens
+            s_view = min(cache_depth, ((pos0 + slice_size + 1 + 255) // 256) * 256)
             tokens, cache, state = t3_decode_slice(
-                self.params["t3"], self.cfg.t3, cache, state, slice_size
+                self.params["t3"], self.cfg.t3, cache, state, slice_size, s_view
             )
             np.asarray(tokens)  # block
         bucket = _token_bucket_sizes(slice_size, self.cfg.t3.max_speech_tokens)[0]
@@ -427,12 +459,13 @@ class TTSEngine:
                     prompt_tokens, ((0, 0), (0, P - prompt_tokens.shape[1]))
                 )
                 t3_prompt_len = jnp.minimum(prompt_len, P)
-                spk = voice_embed(params["ve"], vec, wav16)
+                spk = voice_embed(params["ve"], vec, wav16, wav16_len)
                 cond = cond_embeddings(
-                    params["t3"], t3c, spk, prompt_tokens, exaggeration
+                    params["t3"], t3c, spk, prompt_tokens, exaggeration, t3_prompt_len
                 )
                 uncond = cond_embeddings(
-                    params["t3"], t3c, jnp.zeros_like(spk), prompt_tokens, jnp.zeros_like(exaggeration)
+                    params["t3"], t3c, jnp.zeros_like(spk), prompt_tokens,
+                    jnp.zeros_like(exaggeration), t3_prompt_len,
                 )
                 lanes = jnp.concatenate([cond, uncond], axis=0)  # [2, C, D]
                 fbank = log_mel_spectrogram(wav16, 16000, 400, 160, 80)
@@ -440,6 +473,7 @@ class TTSEngine:
                     params["s3gen"], s3c, wav24, fbank,
                     prompt_tokens[:, : s3c.max_prompt_tokens],
                     jnp.minimum(prompt_len, s3c.max_prompt_tokens),
+                    fbank_len=wav16_len // 160,
                 )
                 return lanes, ref
 
@@ -647,12 +681,15 @@ class TTSEngine:
                 slice_idx = 0
                 done = False
                 pos0 = t3c.cond_len + T_pad
+                # the per-request cache from t3_prefill is only this deep —
+                # never let the attention view exceed it
+                cache_depth = pos0 + 1 + t3c.max_speech_tokens
                 while produced < self.cfg.max_new_tokens and not done:
                     if token.is_cancelled():
                         break
                     n = min(slice_size, self.cfg.max_new_tokens - produced)
                     need = pos0 + produced + n + 1
-                    s_view = min(t3c.max_seq_len, ((need + 255) // 256) * 256)
+                    s_view = min(cache_depth, ((need + 255) // 256) * 256)
 
                     def run_slice():
                         toks, new_cache, new_state = t3_decode_slice(
@@ -667,8 +704,10 @@ class TTSEngine:
                     if len(eos):
                         row = row[: eos[0]]
                     produced += n
-                    if len(row) == 0 and done:
-                        break
+                    # NOTE: even when EOS lands exactly on a slice boundary
+                    # (empty row), a final item is emitted so the chunk's
+                    # is_last_slice semantics — EOS-code append, trailing
+                    # trim — always fire.
                     slice_idx += 1
                     item = {
                         "tokens": row,
@@ -755,10 +794,14 @@ class TTSEngine:
                 return -1
             slice_idx += 1
             pending = make_item(buf, slice_idx)
-        if pending is not None:
-            pending["is_last_slice"] = True
-            if not await emit(pending):
-                return -1
+        if pending is None:
+            # chunk produced zero tokens — still emit the final marker so
+            # is_last_slice semantics (EOS append, trailing trim) fire
+            slice_idx = 1
+            pending = make_item(np.zeros((0,), np.int32), slice_idx)
+        pending["is_last_slice"] = True
+        if not await emit(pending):
+            return -1
         return slice_idx
 
     # -------------------------------------------------------- S3Gen producer

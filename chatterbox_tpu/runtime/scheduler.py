@@ -32,6 +32,10 @@ from ..models.t3.model import t3_prefill_raw
 from .cancellation import CancellationToken
 
 
+class DecodeError(RuntimeError):
+    """The batched decoder loop died; in-flight requests must fail loudly."""
+
+
 @dataclasses.dataclass
 class _Submission:
     cond_lanes: np.ndarray   # [2, C, D]
@@ -115,7 +119,7 @@ class BatchedT3Decoder:
             cfg = self.cfg
 
             @partial(jax.jit, donate_argnums=(0,))
-            def reset(state, slot, temperature, top_p, cfg_w, rep_pen, sub_key):
+            def reset(state, slot, temperature, top_p, cfg_w, rep_pen, seed):
                 one = lambda arr, val: arr.at[slot].set(val)
                 state = dict(state)
                 state["last_token"] = one(state["last_token"], cfg.start_speech_token)
@@ -126,7 +130,11 @@ class BatchedT3Decoder:
                 state["top_p"] = one(state["top_p"], top_p)
                 state["cfg_weight"] = one(state["cfg_weight"], cfg_w)
                 state["rep_penalty"] = one(state["rep_penalty"], rep_pen)
-                state["rng"] = jax.random.fold_in(state["rng"], sub_key)
+                # per-slot key seeded ONLY by the request's stable seed —
+                # reproducible regardless of batch history / co-tenants
+                state["slot_keys"] = state["slot_keys"].at[slot].set(
+                    jax.random.fold_in(jax.random.PRNGKey(7), seed)
+                )
                 return state
 
             self._reset_jit = reset
@@ -195,6 +203,8 @@ class BatchedT3Decoder:
             item = await queue.get()
             if item is None:
                 break
+            if isinstance(item, Exception):
+                raise item
             yield item
 
     # ------------------------------------------------------------ scheduler
@@ -220,7 +230,17 @@ class BatchedT3Decoder:
                     sub.cfg_weight, sub.rep_penalty, sub.seed,
                 )
 
-            await asyncio.to_thread(do_insert)
+            try:
+                await asyncio.to_thread(do_insert)
+            except Exception as exc:
+                # the submission is already off the pending queue — its future
+                # must fail here or the request hangs forever
+                self._free.insert(0, slot)
+                if not sub.slot_future.done():
+                    sub.slot_future.set_exception(
+                        DecodeError(f"prefill insert failed: {exc}")
+                    )
+                raise
             self._queues[slot] = asyncio.Queue()
             self._pos_host[slot] = self.cfg.cond_len + sub.text.shape[1]
             self._produced[slot] = 0
@@ -296,7 +316,17 @@ class BatchedT3Decoder:
                         self._release(slot)
         except asyncio.CancelledError:
             raise
-        except Exception:
+        except Exception as exc:
             log.exception("Batched decoder loop crashed")
+            err = DecodeError(f"batched decoder crashed: {exc}")
+            # fail queued submissions loudly (their futures would never resolve)
+            while not self._pending.empty():
+                sub = self._pending.get_nowait()
+                if not sub.slot_future.done():
+                    sub.slot_future.set_exception(err)
+            # active requests get the error BEFORE the end sentinel, so they
+            # fail instead of "completing" with truncated audio
             for slot in list(self._queues):
+                self._queues[slot].put_nowait(err)
                 self._release(slot)
+            self._task = None  # allow a fresh start() to spin a new loop
