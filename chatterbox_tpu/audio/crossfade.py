@@ -53,6 +53,11 @@ class CrossfadeStitcher:
         self._started = False
 
     def push(self, chunk: np.ndarray) -> np.ndarray:
+        """Emit the audio that is safe to send; hold back up to fade_len
+        samples for the next seam. Sample-conserving: every input sample is
+        emitted exactly once (the reference's fallback paths drop the new
+        chunk's body and double-play the overlap of short chunks — both
+        deliberately fixed here, tts_streaming.py:735-746)."""
         chunk = np.asarray(chunk, dtype=np.float32)
         fl = self.fade_len
 
@@ -61,8 +66,8 @@ class CrossfadeStitcher:
             if fl > 0 and chunk.shape[0] > fl:
                 self._held = chunk[-fl:]
                 return chunk[:-fl]
-            self._held = None
-            return chunk
+            self._held = chunk if chunk.size else None
+            return np.empty(0, np.float32)
 
         can_fade = (
             fl > 0
@@ -72,17 +77,21 @@ class CrossfadeStitcher:
         )
         if can_fade:
             mixed = self._held * self.fade_out + chunk[:fl] * self.fade_in
-            body = chunk[fl:-fl] if chunk.shape[0] > 2 * fl else np.empty(0, np.float32)
-            self._held = chunk[-fl:]
+            # hold at most fade_len of the *unconsumed* samples — never
+            # samples already mixed (short chunks would be double-played)
+            hold = min(fl, chunk.shape[0] - fl)
+            body = chunk[fl : chunk.shape[0] - hold]
+            self._held = chunk[chunk.shape[0] - hold :] if hold > 0 else None
             return np.concatenate([mixed, body])
 
-        # Fallback (no fade possible): emit whatever was held, hold the new tail.
-        out = self._held if self._held is not None else np.empty(0, np.float32)
+        # No fade possible (held tail shorter than fade_len): emit held + the
+        # chunk body unfaded, hold the new tail.
+        held = self._held if self._held is not None else np.empty(0, np.float32)
         if fl > 0 and chunk.shape[0] > fl:
             self._held = chunk[-fl:]
-        else:
-            self._held = chunk
-        return out
+            return np.concatenate([held, chunk[:-fl]])
+        self._held = chunk if chunk.size else None
+        return held
 
     def flush(self) -> np.ndarray:
         """Release the held tail at end-of-stream."""

@@ -156,11 +156,15 @@ class AudioEncoder:
                 f"ffmpeg binary not found; cannot encode {self.output_format.value}"
             )
         argv = self.ffmpeg_argv()
+        # stderr → DEVNULL: ffmpeg's banner/progress would fill an undrained
+        # pipe (~64 KB) on long encodes and deadlock the whole stream. (The
+        # argv places -loglevel after the output, where ffmpeg ignores it —
+        # kept for reference-argv parity, so stderr is NOT quiet.)
         self._proc = await asyncio.create_subprocess_exec(
             *argv,
             stdin=asyncio.subprocess.PIPE,
             stdout=asyncio.subprocess.PIPE,
-            stderr=asyncio.subprocess.PIPE,
+            stderr=asyncio.subprocess.DEVNULL,
         )
 
         async def feed() -> None:

@@ -72,12 +72,14 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
 
     pos = 12
     fmt = None
+    fmt_body = b""
     data = None
     while pos + 8 <= len(blob):
         cid, csize = struct.unpack_from("<4sL", blob, pos)
         body = blob[pos + 8 : pos + 8 + csize]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHLLHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             data = body
         pos += 8 + csize + (csize & 1)  # chunks are word-aligned
@@ -87,8 +89,13 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         raise ValueError(f"{path}: missing fmt/data chunk")
 
     audio_format, channels, sample_rate, _, _, bits = fmt
-    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: subformat in fmt ext
-        audio_format = 1 if bits in (8, 16, 24, 32) else 3
+    if audio_format == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real format code is the first 2 bytes
+        # of the SubFormat GUID at offset 24 of the fmt chunk
+        if len(fmt_body) >= 26:
+            audio_format = struct.unpack_from("<H", fmt_body, 24)[0]
+        else:
+            raise ValueError(f"{path}: malformed WAVE_FORMAT_EXTENSIBLE fmt chunk")
 
     if audio_format == 1:  # integer PCM
         if bits == 16:

@@ -486,14 +486,18 @@ def t3_forward_train(
     cond: jnp.ndarray,           # [B, C, D]
     text_tokens: jnp.ndarray,    # [B, T]
     speech_tokens: jnp.ndarray,  # [B, S] target speech tokens (BOS-shifted inputs)
+    text_len: Optional[jnp.ndarray] = None,  # [B] valid text lengths
 ) -> jnp.ndarray:
     """Teacher-forced forward pass → speech logits [B, S, V_speech].
 
     Input sequence: [cond | text | BOS, speech[:-1]]; logits are read at the
-    speech positions. Used by the training step and multi-chip shard checks.
+    speech positions. ``text_len`` masks padded text positions out of the
+    attention so training matches the serving-side masking. Used by the
+    training step and multi-chip shard checks.
     """
     B, T = text_tokens.shape
     S = speech_tokens.shape[1]
+    C = cond.shape[1]
     text_emb = params["text_emb"][text_tokens]
     if cfg.learned_pos_emb:
         text_emb = text_emb + params["text_pos"][jnp.arange(T)][None]
@@ -503,7 +507,18 @@ def t3_forward_train(
     if cfg.learned_pos_emb:
         speech_emb = speech_emb + params["speech_pos"][jnp.arange(S)][None]
     h = jnp.concatenate([cond, text_emb, speech_emb], axis=1)
-    valid = jnp.ones(h.shape[:2], dtype=bool)
+    if text_len is None:
+        valid = jnp.ones(h.shape[:2], dtype=bool)
+    else:
+        text_valid = jnp.arange(T)[None, :] < text_len[:, None]
+        valid = jnp.concatenate(
+            [
+                jnp.ones((B, C), dtype=bool),
+                text_valid,
+                jnp.ones((B, S), dtype=bool),
+            ],
+            axis=1,
+        )
     hidden, _, _ = _backbone_prefill(params, cfg, h, valid)
     speech_hidden = hidden[:, cond.shape[1] + T :]
     return linear(

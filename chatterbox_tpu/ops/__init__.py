@@ -4,7 +4,6 @@ from .nn import (
     rope_frequencies,
     apply_rope,
     causal_attention,
-    decode_attention,
     swiglu,
     linear,
 )
@@ -16,7 +15,6 @@ __all__ = [
     "rope_frequencies",
     "apply_rope",
     "causal_attention",
-    "decode_attention",
     "swiglu",
     "linear",
     "sample_token",

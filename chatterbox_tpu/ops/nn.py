@@ -89,23 +89,8 @@ def causal_attention(
     return out.astype(q.dtype)
 
 
-def decode_attention(
-    q: jnp.ndarray,
-    k_cache: jnp.ndarray,
-    v_cache: jnp.ndarray,
-    length: jnp.ndarray,
-) -> jnp.ndarray:
-    """Single-step attention against a static-shape KV cache.
-
-    q: [B, 1, H, Dh]; k_cache/v_cache: [B, L, H, Dh]; length: [B] number of
-    valid cache entries (positions >= length are masked out).
-    """
-    B, L, H, Dh = k_cache.shape
-    scale = 1.0 / jnp.sqrt(Dh).astype(jnp.float32)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_cache, preferred_element_type=jnp.float32) * scale
-    idx = jnp.arange(L)[None, None, None, :]  # [1,1,1,L]
-    valid = idx < length[:, None, None, None]
-    scores = jnp.where(valid, scores, NEG_INF)
-    probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v_cache.dtype), v_cache, preferred_element_type=jnp.float32)
-    return out.astype(q.dtype)
+# NOTE: single-step decode attention lives with the model (the T3 decode step
+# fuses the cache scores with the current token's self term and left-pad
+# masking — see models/t3/model.py) and as a Pallas kernel in
+# ops/pallas_attention.py. No generic helper is exported to avoid a second,
+# subtly different implementation.

@@ -84,6 +84,7 @@ def create_app(engine: Optional[TTSEngine] = None, warm_voices: bool = True) -> 
             if eng.get_initialization_status()["state"] == "error":
                 log.warning("Engine in ERROR state — restarting")
                 try:
+                    eng.shutdown()  # free HBM BEFORE loading the replacement
                     new_engine = TTSEngine(eng.cfg)
                     await new_engine.ainit()
                     app["engine"] = new_engine

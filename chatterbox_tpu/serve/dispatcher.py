@@ -47,9 +47,12 @@ class Dispatcher:
     def pick(self) -> Backend:
         healthy = [b for b in self.backends if b.healthy]
         pool = healthy or self.backends
-        # least-active with round-robin tie-break (ZMQ PUSH fair-queue analog)
+        # least-active with round-robin tie-break (ZMQ PUSH fair-queue analog);
+        # tie-break indexes within the POOL so unhealthy gaps can't collide
         n = next(self._rr)
-        return sorted(pool, key=lambda b: (b.active, (n + self.backends.index(b)) % len(pool)))[0]
+        return sorted(
+            pool, key=lambda b: (b.active, (n + pool.index(b)) % len(pool))
+        )[0]
 
     async def health_loop(self, session: aiohttp.ClientSession) -> None:
         while True:
@@ -90,6 +93,7 @@ def create_dispatcher_app(backends: List[str]) -> web.Application:
         backend.active += 1
         session: aiohttp.ClientSession = request.app["session"]
         url = backend.url + str(request.rel_url)
+        response = None
         try:
             body = await request.read() if request.can_read_body else None
             async with session.request(
@@ -108,6 +112,12 @@ def create_dispatcher_app(backends: List[str]) -> web.Application:
         except aiohttp.ClientError as exc:
             backend.healthy = False
             log.warning("backend %s failed: %s", backend.url, exc)
+            if response is not None and response.prepared:
+                # headers already sent: terminate the stream so the client
+                # sees a broken transfer instead of a silent truncation
+                await response.write_eof()
+                request.transport and request.transport.close()
+                return response
             return web.json_response({"error": "backend unavailable"}, status=502)
         finally:
             backend.active -= 1

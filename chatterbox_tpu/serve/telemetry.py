@@ -15,7 +15,9 @@ def cpu_status() -> Dict[str, Any]:
 
         ram = psutil.virtual_memory()
         return {
-            "utilization_percent": psutil.cpu_percent(interval=0.1),
+            # interval=None: non-blocking (delta since previous call) — a
+            # 100 ms sleep here would stall the serving event loop
+            "utilization_percent": psutil.cpu_percent(interval=None),
             "ram_gb": {
                 "total": round(ram.total / 1024**3, 2),
                 "used": round(ram.used / 1024**3, 2),

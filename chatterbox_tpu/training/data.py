@@ -79,6 +79,7 @@ def make_batches(
     for i in range(0, len(order) - batch_size + 1, batch_size):
         chunk = [examples[j] for j in order[i : i + batch_size]]
         text = np.zeros((batch_size, T), np.int32)
+        text_len = np.zeros((batch_size,), np.int32)
         speech = np.zeros((batch_size, max_speech), np.int32)
         mask = np.zeros((batch_size, max_speech), np.float32)
         spk = np.zeros((batch_size, len(chunk[0].speaker_emb)), np.float32)
@@ -86,6 +87,7 @@ def make_batches(
         for b, ex in enumerate(chunk):
             t = ex.text_tokens[:T]
             text[b, : len(t)] = t
+            text_len[b] = len(t)
             s = ex.speech_tokens[: max_speech - 1]
             speech[b, : len(s)] = s
             speech[b, len(s)] = cfg.stop_speech_token
@@ -94,6 +96,7 @@ def make_batches(
             prompt[b] = ex.prompt_tokens
         yield {
             "text_tokens": jnp.asarray(text),
+            "text_len": jnp.asarray(text_len),
             "speech_tokens": jnp.asarray(speech),
             "speech_mask": jnp.asarray(mask),
             "speaker_emb": jnp.asarray(spk),

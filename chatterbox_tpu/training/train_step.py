@@ -28,7 +28,10 @@ def t3_loss(
     cond = cond_embeddings(
         params, cfg, batch["speaker_emb"], batch["prompt_tokens"], batch["emotion"]
     )
-    logits = t3_forward_train(params, cfg, cond, batch["text_tokens"], batch["speech_tokens"])
+    logits = t3_forward_train(
+        params, cfg, cond, batch["text_tokens"], batch["speech_tokens"],
+        text_len=batch.get("text_len"),
+    )
     logp = jax.nn.log_softmax(logits, axis=-1)
     ll = jnp.take_along_axis(logp, batch["speech_tokens"][..., None], axis=-1)[..., 0]
     mask = batch["speech_mask"].astype(jnp.float32)

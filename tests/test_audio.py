@@ -109,14 +109,27 @@ def test_stitcher_zero_fade_passthrough():
     assert np.array_equal(out, np.concatenate([a, b]))
 
 
-def test_stitcher_short_chunk_fallback():
+def test_stitcher_short_chunk_fallback_conserves_samples():
+    """Chunks shorter than fade_len must not lose or duplicate audio (the
+    reference's fallback drops the new chunk's body; ours must not)."""
     fl = 100
     st = CrossfadeStitcher(fl)
-    first = st.push(np.ones(50, np.float32))  # shorter than fade_len
-    assert len(first) == 50  # emitted whole, nothing held... but held=chunk
-    out2 = st.push(np.ones(300, np.float32))
+    outs = [st.push(np.ones(50, np.float32)), st.push(np.ones(300, np.float32)),
+            st.push(np.ones(30, np.float32)), st.flush()]
+    total_in = 50 + 300 + 30
+    total_out = sum(len(o) for o in outs)
+    assert total_out == total_in  # no fade was possible → pure pass-through
+
+
+def test_stitcher_between_fl_and_2fl_no_duplication():
+    """A chunk with fl < len <= 2*fl must not double-play its overlap."""
+    fl = 100
+    st = CrossfadeStitcher(fl)
+    a = st.push(np.arange(500, dtype=np.float32))
+    b = st.push(np.arange(150, dtype=np.float32))  # between fl and 2fl
     tail = st.flush()
-    assert len(tail) == fl
+    # one seam faded: total out = 500 + 150 - fl
+    assert len(a) + len(b) + len(tail) == 500 + 150 - fl
 
 
 def test_trim_helpers():
