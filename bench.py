@@ -68,7 +68,7 @@ def main() -> None:
 
     dtype = jnp.bfloat16
     slice_tokens = 35
-    t3c = T3Config()
+    t3c = T3Config().with_(kv_cache_dtype=os.environ.get("BENCH_KV", "native"))
     s3c = S3GenConfig()
 
     t3_params = jax.device_put(init_t3_params(jax.random.PRNGKey(0), t3c, dtype))

@@ -118,6 +118,11 @@ class AppConfig(EnvConfig):
     DTYPE_POLICY: str = Field(
         default="bfloat16", description="Compute dtype for model matmuls (bfloat16|float32)."
     )
+    KV_CACHE_DTYPE: str = Field(
+        default="native",
+        description="T3 KV cache storage: native (params dtype) or int8 "
+        "(halves decode bandwidth; ~2x slot capacity).",
+    )
 
 
 class TTSConfig(EnvConfig):

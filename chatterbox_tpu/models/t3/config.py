@@ -42,6 +42,11 @@ class T3Config:
     rope_theta: float = 10000.0
     rms_eps: float = 1e-5
 
+    # KV cache storage: "native" (params dtype) or "int8" (per-token-per-head
+    # symmetric quantization — halves decode bandwidth, the dominant cost of
+    # batched decode, at ~1% attention error)
+    kv_cache_dtype: str = "native"
+
     # Sequence budget. 160 covers a 150-char chunk even with the 1-token-per-
     # char fallback tokenizer (BPE needs ~60); +SOT/EOT.
     max_text_tokens: int = 160

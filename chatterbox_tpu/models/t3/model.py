@@ -227,10 +227,12 @@ def _backbone_decode_step(
     params: Params,
     cfg: T3Config,
     h: jnp.ndarray,          # [B, 1, D]
-    k_cache: jnp.ndarray,    # [L, B, S, Hk, Dh]
+    k_cache: jnp.ndarray,    # [L, B, S, Hk, Dh] (int8 when quantized)
     v_cache: jnp.ndarray,
     start: jnp.ndarray,      # [B] first valid cache index (left-pad offset)
     pos: jnp.ndarray,        # [B] current write position
+    k_scale: Optional[jnp.ndarray] = None,  # [L, B, S, Hk] int8-cache scales
+    v_scale: Optional[jnp.ndarray] = None,
 ):
     """One decode step for all layers. Returns (hidden, k_new, v_new) where
     k_new/v_new are [L, B, 1, Hk, Dh] to be written into the cache at pos."""
@@ -242,13 +244,21 @@ def _backbone_decode_step(
     idx = jnp.arange(S)[None, None, None, :]
     cache_valid = (idx >= start[:, None, None, None]) & (idx < pos[:, None, None, None])
     scale = 1.0 / math.sqrt(Dh)
+    quantized = k_scale is not None
 
     from ...ops.pallas_attention import pallas_decode_attention, pallas_enabled
 
-    use_pallas = pallas_enabled() and jax.default_backend() == "tpu"
+    use_pallas = (
+        pallas_enabled() and jax.default_backend() == "tpu" and not quantized
+    )
 
     def layer(h, xs):
-        lp, kc, vc = xs
+        if quantized:
+            lp, kc_q, vc_q, kc_s, vc_s = xs
+            kc = _dequantize_kv(kc_q, kc_s, h.dtype)
+            vc = _dequantize_kv(vc_q, vc_s, h.dtype)
+        else:
+            lp, kc, vc = xs
         x = rms_norm(h, lp["attn_norm"], cfg.rms_eps)
         q = apply_rope(_split_heads(linear(x, lp["wq"]), cfg.num_heads, Dh), cos, sin, positions)
         k = apply_rope(_split_heads(linear(x, lp["wk"]), cfg.num_kv_heads, Dh), cos, sin, positions)
@@ -275,20 +285,36 @@ def _backbone_decode_step(
         h = h + swiglu(x, lp["w_gate"], lp["w_up"], lp["w_down"])
         return h, (k, v)
 
-    h, (k_new, v_new) = jax.lax.scan(
-        layer, h, (params["backbone"]["layers"], k_cache, v_cache)
+    xs = (
+        (params["backbone"]["layers"], k_cache, v_cache, k_scale, v_scale)
+        if quantized
+        else (params["backbone"]["layers"], k_cache, v_cache)
     )
+    h, (k_new, v_new) = jax.lax.scan(layer, h, xs)
     h = rms_norm(h, params["backbone"]["final_norm"], cfg.rms_eps)
     return h, k_new, v_new
 
 
 def _write_cache(cache_arr: jnp.ndarray, new: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
-    """Write new [L, B, 1, Hk, Dh] into cache [L, B, S, Hk, Dh] at per-row pos [B]."""
+    """Write new [L, B, 1, ...] into cache [L, B, S, ...] at per-row pos [B]."""
 
-    def per_row(c, n, p):  # c: [L, S, Hk, Dh], n: [L, 1, Hk, Dh]
-        return jax.lax.dynamic_update_slice(c, n, (0, p, 0, 0))
+    def per_row(c, n, p):  # c: [L, S, ...], n: [L, 1, ...]
+        idx = (0, p) + (0,) * (c.ndim - 2)
+        return jax.lax.dynamic_update_slice(c, n, idx)
 
     return jax.vmap(per_row, in_axes=(1, 1, 0), out_axes=1)(cache_arr, new, pos)
+
+
+# ------------------------------------------------------------- KV quantization
+def _quantize_kv(x: jnp.ndarray):
+    """Symmetric per-token-per-head int8: x [..., Dh] → (int8, scale [...])."""
+    scale = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127)
+    return q.astype(jnp.int8), scale.astype(jnp.float32)
+
+
+def _dequantize_kv(q: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
+    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
 # ---------------------------------------------------------------- prefill
@@ -339,12 +365,18 @@ def t3_prefill(
     k_all, v_all, pad = t3_prefill_raw(params, cfg, cond, text_tokens, text_len)
     S_max = P + 1 + cfg.max_speech_tokens
     padw = ((0, 0), (0, 0), (0, S_max - P), (0, 0), (0, 0))
-    return {
-        "k": jnp.pad(k_all, padw),
-        "v": jnp.pad(v_all, padw),
-        "start": pad,
-        "pos": jnp.full((B,), P, jnp.int32),
-    }
+    cache = {"start": pad, "pos": jnp.full((B,), P, jnp.int32)}
+    if cfg.kv_cache_dtype == "int8":
+        kq, ks = _quantize_kv(k_all)
+        vq, vs = _quantize_kv(v_all)
+        padw_s = padw[:-1]
+        cache.update(
+            k=jnp.pad(kq, padw), v=jnp.pad(vq, padw),
+            k_scale=jnp.pad(ks, padw_s), v_scale=jnp.pad(vs, padw_s),
+        )
+    else:
+        cache.update(k=jnp.pad(k_all, padw), v=jnp.pad(v_all, padw))
+    return cache
 
 
 # ---------------------------------------------------------------- decode
@@ -409,6 +441,8 @@ def t3_decode_slice(
     R = state["last_token"].shape[0]
     token_mask = _invalid_token_mask(cfg)
 
+    quantized = cfg.kv_cache_dtype == "int8"
+
     def step(carry, _):
         cache, state = carry
         if s_view is not None:
@@ -416,6 +450,9 @@ def t3_decode_slice(
                 "k": jax.lax.slice_in_dim(cache["k"], 0, s_view, axis=2),
                 "v": jax.lax.slice_in_dim(cache["v"], 0, s_view, axis=2),
             }
+            if quantized:
+                attn_cache["k_scale"] = jax.lax.slice_in_dim(cache["k_scale"], 0, s_view, axis=2)
+                attn_cache["v_scale"] = jax.lax.slice_in_dim(cache["v_scale"], 0, s_view, axis=2)
         else:
             attn_cache = cache
         # A finished (or empty batching) slot must not advance its cache
@@ -427,14 +464,25 @@ def t3_decode_slice(
         if cfg.learned_pos_emb:
             h = h + params["speech_pos"][step_lanes][:, None, :]
         hidden, k_new, v_new = _backbone_decode_step(
-            params, cfg, h, attn_cache["k"], attn_cache["v"], cache["start"], cache["pos"]
+            params, cfg, h, attn_cache["k"], attn_cache["v"],
+            cache["start"], cache["pos"],
+            attn_cache.get("k_scale"), attn_cache.get("v_scale"),
         )
-        cache = {
-            "k": _write_cache(cache["k"], k_new, cache["pos"]),
-            "v": _write_cache(cache["v"], v_new, cache["pos"]),
+        new_cache = {
             "start": cache["start"],
             "pos": cache["pos"] + active_lanes.astype(jnp.int32),
         }
+        if quantized:
+            kq, ks = _quantize_kv(k_new)
+            vq, vs = _quantize_kv(v_new)
+            new_cache["k"] = _write_cache(cache["k"], kq, cache["pos"])
+            new_cache["v"] = _write_cache(cache["v"], vq, cache["pos"])
+            new_cache["k_scale"] = _write_cache(cache["k_scale"], ks, cache["pos"])
+            new_cache["v_scale"] = _write_cache(cache["v_scale"], vs, cache["pos"])
+        else:
+            new_cache["k"] = _write_cache(cache["k"], k_new, cache["pos"])
+            new_cache["v"] = _write_cache(cache["v"], v_new, cache["pos"])
+        cache = new_cache
         logits = linear(
             hidden[:, 0], params["speech_head"]["w"], params["speech_head"]["b"]
         ).astype(jnp.float32)

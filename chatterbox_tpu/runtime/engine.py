@@ -170,6 +170,11 @@ class TTSEngine:
                 engine_cfg = EngineConfig.tiny()
             else:
                 engine_cfg = EngineConfig.full(settings.DTYPE_POLICY)
+            if settings.KV_CACHE_DTYPE != "native":
+                engine_cfg = dataclasses.replace(
+                    engine_cfg,
+                    t3=engine_cfg.t3.with_(kv_cache_dtype=settings.KV_CACHE_DTYPE),
+                )
         self.cfg = engine_cfg
         self.seed = seed
         self.sr = engine_cfg.s3gen.sample_rate

@@ -69,11 +69,21 @@ class BatchedT3Decoder:
         B = 2 * n_slots
         dtype = jax.tree.leaves(params)[0].dtype
         self.cache = {
-            "k": jnp.zeros((L, B, S, Hk, Dh), dtype),
-            "v": jnp.zeros((L, B, S, Hk, Dh), dtype),
             "start": jnp.zeros((B,), jnp.int32),
             "pos": jnp.zeros((B,), jnp.int32),
         }
+        if cfg.kv_cache_dtype == "int8":
+            self.cache.update(
+                k=jnp.zeros((L, B, S, Hk, Dh), jnp.int8),
+                v=jnp.zeros((L, B, S, Hk, Dh), jnp.int8),
+                k_scale=jnp.zeros((L, B, S, Hk), jnp.float32),
+                v_scale=jnp.zeros((L, B, S, Hk), jnp.float32),
+            )
+        else:
+            self.cache.update(
+                k=jnp.zeros((L, B, S, Hk, Dh), dtype),
+                v=jnp.zeros((L, B, S, Hk, Dh), dtype),
+            )
         self.state = make_decode_state(
             jax.random.PRNGKey(seed), cfg, n_slots, 0.8, 0.95, 0.5, 1.2
         )
@@ -98,18 +108,29 @@ class BatchedT3Decoder:
         if T_pad not in self._insert_jit:
             cfg = self.cfg
 
-            @partial(jax.jit, donate_argnums=(0, 1))
-            def insert(big_k, big_v, starts, poss, params, cond, text, tlen, slot):
+            @partial(jax.jit, donate_argnums=(0,))
+            def insert(cache, params, cond, text, tlen, slot):
+                from ..models.t3.model import _quantize_kv
+
                 k, v, pad = t3_prefill_raw(params, cfg, cond, text, tlen)
                 P = cond.shape[1] + text.shape[1]
                 lane = 2 * slot
-                big_k = jax.lax.dynamic_update_slice(big_k, k, (0, lane, 0, 0, 0))
-                big_v = jax.lax.dynamic_update_slice(big_v, v, (0, lane, 0, 0, 0))
-                starts = jax.lax.dynamic_update_slice(starts, pad, (lane,))
-                poss = jax.lax.dynamic_update_slice(
-                    poss, jnp.full((2,), P, jnp.int32), (lane,)
+                out = dict(cache)
+                if cfg.kv_cache_dtype == "int8":
+                    kq, ks = _quantize_kv(k)
+                    vq, vs = _quantize_kv(v)
+                    out["k"] = jax.lax.dynamic_update_slice(cache["k"], kq, (0, lane, 0, 0, 0))
+                    out["v"] = jax.lax.dynamic_update_slice(cache["v"], vq, (0, lane, 0, 0, 0))
+                    out["k_scale"] = jax.lax.dynamic_update_slice(cache["k_scale"], ks, (0, lane, 0, 0))
+                    out["v_scale"] = jax.lax.dynamic_update_slice(cache["v_scale"], vs, (0, lane, 0, 0))
+                else:
+                    out["k"] = jax.lax.dynamic_update_slice(cache["k"], k, (0, lane, 0, 0, 0))
+                    out["v"] = jax.lax.dynamic_update_slice(cache["v"], v, (0, lane, 0, 0, 0))
+                out["start"] = jax.lax.dynamic_update_slice(cache["start"], pad, (lane,))
+                out["pos"] = jax.lax.dynamic_update_slice(
+                    cache["pos"], jnp.full((2,), P, jnp.int32), (lane,)
                 )
-                return big_k, big_v, starts, poss
+                return out
 
             self._insert_jit[T_pad] = insert
         return self._insert_jit[T_pad]
@@ -218,13 +239,11 @@ class BatchedT3Decoder:
 
             def do_insert():
                 insert = self._insert_fn(sub.text.shape[1])
-                k, v, starts, poss = insert(
-                    self.cache["k"], self.cache["v"], self.cache["start"],
-                    self.cache["pos"], self.params,
+                self.cache = insert(
+                    self.cache, self.params,
                     jnp.asarray(sub.cond_lanes), jnp.asarray(sub.text),
                     jnp.full((2,), sub.text_len, jnp.int32), slot,
                 )
-                self.cache = {"k": k, "v": v, "start": starts, "pos": poss}
                 self.state = self._reset_fn()(
                     self.state, slot, sub.temperature, sub.top_p,
                     sub.cfg_weight, sub.rep_penalty, sub.seed,
