@@ -188,6 +188,7 @@ class TTSEngine:
         self.tts_semaphore = asyncio.Semaphore(settings.CONCURRENT_REQUESTS_PER_WORKER)
         self._jit_cache: Dict = {}
         self.decoder = None  # BatchedT3Decoder when MAX_DECODE_SLOTS > 1
+        self.s3gen_scheduler = None  # S3GenScheduler (micro-batching), same gate
         # per-request fatal pipeline errors, surfaced to the HTTP layer
         # (the reference leaves this as a TODO — worker.py:54-56)
         self._request_errors: Dict[str, str] = {}
@@ -201,6 +202,9 @@ class TTSEngine:
         if self.decoder is not None:
             self.decoder.stop()
             self.decoder = None
+        if self.s3gen_scheduler is not None:
+            self.s3gen_scheduler.stop()
+            self.s3gen_scheduler = None
         self.params = None
         self.voice_cache.clear()
         self._jit_cache.clear()
@@ -212,6 +216,7 @@ class TTSEngine:
             await asyncio.to_thread(self._init_models)
             settings = get_settings()
             if settings.MAX_DECODE_SLOTS > 1:
+                from .s3gen_scheduler import S3GenScheduler
                 from .scheduler import BatchedT3Decoder
 
                 self.decoder = BatchedT3Decoder(
@@ -220,6 +225,9 @@ class TTSEngine:
                     n_slots=settings.MAX_DECODE_SLOTS,
                     slice_size=get_tts_config().AUDIO_TOKENS_PER_SLICE,
                     seed=self.seed,
+                )
+                self.s3gen_scheduler = S3GenScheduler(
+                    self.params["s3gen"], self.cfg.s3gen
                 )
             self._progress = "Warming up compiled graphs..."
             await asyncio.to_thread(self._warmup)
@@ -340,7 +348,9 @@ class TTSEngine:
         cache_dir = os.environ.get(
             "CHATTERBOX_COMPILE_CACHE", os.path.expanduser("~/.cache/chatterbox-tpu-xla")
         )
-        if cache_dir and cache_dir != "0":
+        if cache_dir and cache_dir != "0" and jax.default_backend() == "tpu":
+            # TPU executables cache cleanly; XLA:CPU AOT entries are pinned to
+            # exact host features and warn/recompile on reload — skip on CPU.
             try:
                 os.makedirs(cache_dir, exist_ok=True)
                 jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -889,16 +899,22 @@ class TTSEngine:
                 if cache_len:
                     src[0, :cache_len] = source_cache[:cache_len]
 
-                def run():
-                    wav, new_src = self._jit_s3gen()(
-                        s3p, jnp.asarray(padded),
-                        jnp.array([infer_tokens.size], jnp.int32),
-                        conds.gen_ref, jnp.asarray(src),
-                        jnp.array([cache_len], jnp.int32), chunk_key,
+                if self.s3gen_scheduler is not None:
+                    wav, new_src = await self.s3gen_scheduler.synthesize(
+                        padded[0], infer_tokens.size, conds.gen_ref,
+                        src[0], cache_len, chunk_key,
                     )
-                    return np.asarray(wav[0]), np.asarray(new_src[0])
+                else:
+                    def run():
+                        w, ns = self._jit_s3gen()(
+                            s3p, jnp.asarray(padded),
+                            jnp.array([infer_tokens.size], jnp.int32),
+                            conds.gen_ref, jnp.asarray(src),
+                            jnp.array([cache_len], jnp.int32), chunk_key,
+                        )
+                        return np.asarray(w[0]), np.asarray(ns[0])
 
-                wav, new_src = await asyncio.to_thread(run)
+                    wav, new_src = await asyncio.to_thread(run)
                 valid = infer_tokens.size * spt
                 audio = wav[:valid]
                 if overlap == "full":
