@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def _device_alive(timeout_s: int = 120) -> bool:
+def _device_alive(timeout_s: int = 300) -> bool:
     """Probe the accelerator in a subprocess so a wedged runtime cannot hang
     the benchmark itself."""
     import subprocess
@@ -102,19 +102,34 @@ def main() -> None:
     t3_tok_rate = slice_tokens / t3_slice_s
 
     # ------------- T3 batched decode: N slots share the weights -------------
+    from chatterbox_tpu.utils import safe_delete_buffers
+
+    safe_delete_buffers(cache, state)  # free the single-stream cache first
     n_slots = int(os.environ.get("BENCH_SLOTS", "16"))
     Bb = 2 * n_slots
     S_max = t3c.max_seq_len
+    L, Hk, Dh = t3c.num_layers, t3c.num_kv_heads, t3c.head_dim
     cache_b = {
-        "k": jnp.zeros((t3c.num_layers, Bb, S_max, t3c.num_kv_heads, t3c.head_dim), dtype),
-        "v": jnp.zeros((t3c.num_layers, Bb, S_max, t3c.num_kv_heads, t3c.head_dim), dtype),
         "start": jnp.zeros((Bb,), jnp.int32),
         "pos": jnp.full((Bb,), 128, jnp.int32),
     }
+    if t3c.kv_cache_dtype == "int8":
+        cache_b.update(
+            k=jnp.zeros((L, Bb, S_max, Hk, Dh), jnp.int8),
+            v=jnp.zeros((L, Bb, S_max, Hk, Dh), jnp.int8),
+            k_scale=jnp.zeros((L, Bb, S_max, Hk), jnp.float32),
+            v_scale=jnp.zeros((L, Bb, S_max, Hk), jnp.float32),
+        )
+    else:
+        cache_b.update(
+            k=jnp.zeros((L, Bb, S_max, Hk, Dh), dtype),
+            v=jnp.zeros((L, Bb, S_max, Hk, Dh), dtype),
+        )
     state_b = make_decode_state(jax.random.PRNGKey(4), t3c, n_slots, 0.8, 0.95, 0.5, 1.2)
-    # typical serving view: sequences average well below the full budget, and
-    # the scheduler buckets attention to the filled prefix (s_view)
-    s_view = min(t3c.max_seq_len, 768)
+    # View bucketing is only copy-free through the Pallas kernel (grid-bounded
+    # read); the XLA path must use the full view (see models/t3/model.py).
+    use_pallas = os.environ.get("CHATTERBOX_PALLAS", "0") == "1"
+    s_view = min(S_max, 768) if use_pallas else None
     toks, cache_b, state_b = t3_decode_slice(
         t3_params, t3c, cache_b, state_b, slice_tokens, s_view
     )

@@ -60,7 +60,10 @@ class T3Config:
 
     @property
     def max_seq_len(self) -> int:
-        return self.cond_len + self.max_text_tokens + 1 + self.max_speech_tokens
+        # rounded up to the Pallas attention block (256) so the batched cache
+        # needs no padding copies for grid-bounded kernel reads
+        raw = self.cond_len + self.max_text_tokens + 1 + self.max_speech_tokens
+        return ((raw + 255) // 256) * 256
 
     @staticmethod
     def tiny() -> "T3Config":

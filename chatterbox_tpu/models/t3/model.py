@@ -233,12 +233,19 @@ def _backbone_decode_step(
     pos: jnp.ndarray,        # [B] current write position
     k_scale: Optional[jnp.ndarray] = None,  # [L, B, S, Hk] int8-cache scales
     v_scale: Optional[jnp.ndarray] = None,
+    s_view: Optional[int] = None,
 ):
     """One decode step for all layers. Returns (hidden, k_new, v_new) where
-    k_new/v_new are [L, B, 1, Hk, Dh] to be written into the cache at pos."""
+    k_new/v_new are [L, B, 1, Hk, Dh] to be written into the cache at pos.
+
+    ``s_view`` limits attention to the first s_view cache entries. The slice
+    happens PER LAYER inside the scan body: slicing the whole stacked cache up
+    front materializes an [L, B, s_view, H, Dh] temporary (gigabytes at
+    batch 32) and OOMs HBM; the per-layer slice is a ~100 MB transient.
+    """
     B = h.shape[0]
     Dh = cfg.head_dim
-    S = k_cache.shape[2]
+    S = s_view if s_view is not None else k_cache.shape[2]
     cos, sin = rope_frequencies(Dh, cfg.max_seq_len, cfg.rope_theta)
     positions = pos[:, None]  # [B, 1]
     idx = jnp.arange(S)[None, None, None, :]
@@ -255,10 +262,21 @@ def _backbone_decode_step(
     def layer(h, xs):
         if quantized:
             lp, kc_q, vc_q, kc_s, vc_s = xs
+            if s_view is not None:
+                kc_q = jax.lax.slice_in_dim(kc_q, 0, s_view, axis=1)
+                vc_q = jax.lax.slice_in_dim(vc_q, 0, s_view, axis=1)
+                kc_s = jax.lax.slice_in_dim(kc_s, 0, s_view, axis=1)
+                vc_s = jax.lax.slice_in_dim(vc_s, 0, s_view, axis=1)
             kc = _dequantize_kv(kc_q, kc_s, h.dtype)
             vc = _dequantize_kv(vc_q, vc_s, h.dtype)
         else:
             lp, kc, vc = xs
+            if s_view is not None and not use_pallas:
+                # XLA path: the slice materializes a copy each step — only
+                # acceptable off-TPU; the Pallas path bounds the read via its
+                # grid instead (no copy).
+                kc = jax.lax.slice_in_dim(kc, 0, s_view, axis=1)
+                vc = jax.lax.slice_in_dim(vc, 0, s_view, axis=1)
         x = rms_norm(h, lp["attn_norm"], cfg.rms_eps)
         q = apply_rope(_split_heads(linear(x, lp["wq"]), cfg.num_heads, Dh), cos, sin, positions)
         k = apply_rope(_split_heads(linear(x, lp["wk"]), cfg.num_kv_heads, Dh), cos, sin, positions)
@@ -267,7 +285,8 @@ def _backbone_decode_step(
         kcr, vcr = _maybe_repeat_kv(kc, cfg), _maybe_repeat_kv(vc, cfg)
         if use_pallas:
             o = pallas_decode_attention(
-                q[:, 0], kcr, vcr, kr[:, 0], vr[:, 0], start, pos
+                q[:, 0], kcr, vcr, kr[:, 0], vr[:, 0], start, pos,
+                s_view=s_view,
             )[:, None]  # [B, 1, H, Dh]
         else:
             # scores against the cache plus the current token itself
@@ -441,20 +460,12 @@ def t3_decode_slice(
     R = state["last_token"].shape[0]
     token_mask = _invalid_token_mask(cfg)
 
-    quantized = cfg.kv_cache_dtype == "int8"
+    # derive from the cache itself so a mismatched cfg cannot write int8
+    # into a float cache (or vice versa)
+    quantized = "k_scale" in cache
 
     def step(carry, _):
         cache, state = carry
-        if s_view is not None:
-            attn_cache = {
-                "k": jax.lax.slice_in_dim(cache["k"], 0, s_view, axis=2),
-                "v": jax.lax.slice_in_dim(cache["v"], 0, s_view, axis=2),
-            }
-            if quantized:
-                attn_cache["k_scale"] = jax.lax.slice_in_dim(cache["k_scale"], 0, s_view, axis=2)
-                attn_cache["v_scale"] = jax.lax.slice_in_dim(cache["v_scale"], 0, s_view, axis=2)
-        else:
-            attn_cache = cache
         # A finished (or empty batching) slot must not advance its cache
         # position or speech step — it idles in place, re-emitting EOS.
         active_lanes = jnp.repeat(~state["done"], 2)
@@ -464,9 +475,10 @@ def t3_decode_slice(
         if cfg.learned_pos_emb:
             h = h + params["speech_pos"][step_lanes][:, None, :]
         hidden, k_new, v_new = _backbone_decode_step(
-            params, cfg, h, attn_cache["k"], attn_cache["v"],
+            params, cfg, h, cache["k"], cache["v"],
             cache["start"], cache["pos"],
-            attn_cache.get("k_scale"), attn_cache.get("v_scale"),
+            cache.get("k_scale"), cache.get("v_scale"),
+            s_view,
         )
         new_cache = {
             "start": cache["start"],

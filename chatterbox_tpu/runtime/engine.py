@@ -111,6 +111,12 @@ def _bucket(n: int, step: int, cap: int) -> int:
     return min(cap, max(step, int(math.ceil(n / step)) * step))
 
 
+def _pallas_active() -> bool:
+    from ..ops.pallas_attention import pallas_enabled
+
+    return pallas_enabled() and jax.default_backend() == "tpu"
+
+
 def _stable_seed(request_id: str) -> int:
     """Process-independent seed from a request id (Python's hash() is salted
     per process, which would make synthesis irreproducible across runs)."""
@@ -281,12 +287,15 @@ class TTSEngine:
             if self.decoder is not None:
                 cache_shapes = shape_of(self.decoder.cache)
                 state_shapes = shape_of(self.decoder.state)
-                views = sorted(
-                    {
-                        min(t3c.max_seq_len, ((v + 255) // 256) * 256)
-                        for v in range(256, t3c.max_seq_len + 256, 256)
-                    }
-                )
+                if _pallas_active():
+                    views = sorted(
+                        {
+                            min(t3c.max_seq_len, ((v + 255) // 256) * 256)
+                            for v in range(256, t3c.max_seq_len + 256, 256)
+                        }
+                    )
+                else:
+                    views = [None]
                 for s_view in views:
                     def compile_view(s_view=s_view):
                         t3_decode_slice.lower(
@@ -312,9 +321,12 @@ class TTSEngine:
                 state_shapes = shape_of(
                     make_decode_state(jax.random.PRNGKey(0), t3c, 1, 0.8, 0.95, 0.5, 1.2)
                 )
-                views = sorted(
-                    {min(depth, v) for v in range(256, depth + 256, 256)}
-                )
+                if _pallas_active():
+                    views = sorted(
+                        {min(depth, v) for v in range(256, depth + 256, 256)}
+                    )
+                else:
+                    views = [None]
                 for s_view in views:
                     def compile_view(s_view=s_view):
                         t3_decode_slice.lower(
@@ -422,7 +434,10 @@ class TTSEngine:
             # warm the SAME s_view variant the serving path uses first
             pos0 = self.cfg.t3.cond_len + self.cfg.text_bucket
             cache_depth = pos0 + 1 + self.cfg.t3.max_speech_tokens
-            s_view = min(cache_depth, ((pos0 + slice_size + 1 + 255) // 256) * 256)
+            if _pallas_active():
+                s_view = min(cache_depth, ((pos0 + slice_size + 1 + 255) // 256) * 256)
+            else:
+                s_view = None
             tokens, cache, state = t3_decode_slice(
                 self.params["t3"], self.cfg.t3, cache, state, slice_size, s_view
             )
@@ -703,8 +718,11 @@ class TTSEngine:
                     if token.is_cancelled():
                         break
                     n = min(slice_size, self.cfg.max_new_tokens - produced)
-                    need = pos0 + produced + n + 1
-                    s_view = min(cache_depth, ((need + 255) // 256) * 256)
+                    if _pallas_active():
+                        need = pos0 + produced + n + 1
+                        s_view = min(cache_depth, ((need + 255) // 256) * 256)
+                    else:
+                        s_view = None  # XLA slices copy; see scheduler note
 
                     def run_slice():
                         toks, new_cache, new_state = t3_decode_slice(

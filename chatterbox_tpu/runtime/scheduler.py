@@ -298,12 +298,19 @@ class BatchedT3Decoder:
                 if not active:
                     continue
 
-                # Attend only the filled cache prefix (bucketed, static):
-                # decode is cache-bandwidth-bound and most requests are far
-                # below the full sequence budget.
-                max_pos = max(self._pos_host[s] for s in active)
-                need = max_pos + self.slice_size + 1
-                s_view = min(cfg.max_seq_len, ((need + 255) // 256) * 256)
+                # Attention-view bucketing (reading only the filled cache
+                # prefix) is only profitable through the Pallas kernel, whose
+                # grid bounds the read without copying; XLA slices materialize
+                # multi-GB temporaries (measured: 597 ms full-view vs 1529 ms
+                # per-layer-slice at 16 slots). jnp path → full view.
+                from ..ops.pallas_attention import pallas_enabled
+
+                if pallas_enabled() and jax.default_backend() == "tpu":
+                    max_pos = max(self._pos_host[s] for s in active)
+                    need = max_pos + self.slice_size + 1
+                    s_view = min(cfg.max_seq_len, ((need + 255) // 256) * 256)
+                else:
+                    s_view = None
 
                 def run_slice():
                     toks, cache, state = t3_decode_slice(

@@ -47,6 +47,28 @@ def test_pallas_decode_attention_matches_reference(B, H, Dh, S):
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
 
 
+def test_pallas_s_view_matches_full_view():
+    """Grid-bounded view must equal the full-cache result when all valid
+    entries fit inside the view."""
+    B, H, Dh, S = 2, 2, 32, 512
+    ks = jax.random.split(jax.random.PRNGKey(2), 5)
+    q = jax.random.normal(ks[0], (B, H, Dh), jnp.float32)
+    k_cache = jax.random.normal(ks[1], (B, S, H, Dh), jnp.float32)
+    v_cache = jax.random.normal(ks[2], (B, S, H, Dh), jnp.float32)
+    k_new = jax.random.normal(ks[3], (B, H, Dh), jnp.float32)
+    v_new = jax.random.normal(ks[4], (B, H, Dh), jnp.float32)
+    start = jnp.array([0, 2], jnp.int32)
+    pos = jnp.array([100, 120], jnp.int32)  # all inside the first 128-block pair
+    full = pallas_decode_attention(
+        q, k_cache, v_cache, k_new, v_new, start, pos, block_s=128, interpret=True
+    )
+    viewed = pallas_decode_attention(
+        q, k_cache, v_cache, k_new, v_new, start, pos, block_s=128, interpret=True,
+        s_view=128,
+    )
+    np.testing.assert_allclose(np.asarray(viewed), np.asarray(full), atol=1e-6)
+
+
 def test_pallas_decode_attention_empty_cache():
     """pos == start → only the self token is attended."""
     B, H, Dh, S = 1, 2, 32, 128
