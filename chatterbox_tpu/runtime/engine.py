@@ -284,6 +284,27 @@ class TTSEngine:
 
                 await asyncio.to_thread(compile_bucket)
                 compiled += 1
+                # micro-batched (vmapped) variants: first concurrent traffic
+                # otherwise stalls ~10 s per (bucket, batch) combination
+                if self.s3gen_scheduler is not None:
+                    for Bv in range(2, self.s3gen_scheduler.max_batch + 1):
+                        def compile_batched(T=T, Bv=Bv):
+                            rB = jax.tree.map(
+                                lambda s: jax.ShapeDtypeStruct((Bv,) + s.shape, s.dtype),
+                                ref_shapes,
+                            )
+                            self.s3gen_scheduler._infer_fn(T, Bv).lower(
+                                params_shapes["s3gen"],
+                                jax.ShapeDtypeStruct((Bv, 1, T), jnp.int32),
+                                jax.ShapeDtypeStruct((Bv, 1), jnp.int32),
+                                rB,
+                                jax.ShapeDtypeStruct((Bv, 1, T * spt), jnp.float32),
+                                jax.ShapeDtypeStruct((Bv, 1), jnp.int32),
+                                jax.ShapeDtypeStruct((Bv, 2), jnp.uint32),
+                            ).compile()
+
+                        await asyncio.to_thread(compile_batched)
+                        compiled += 1
             if self.decoder is not None:
                 cache_shapes = shape_of(self.decoder.cache)
                 state_shapes = shape_of(self.decoder.state)
