@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Microbenchmark decode-attention implementations on the local accelerator.
+
+Uses a chained jitted loop (each iteration's output feeds the next query) so
+per-call latency is measured with ONE dispatch and ONE sync — host-synced
+harnesses measure the tunnel round-trip (~30 ms here), and pipelined
+harnesses under-report (the runtime acks before completion on this platform).
+
+Usage: python scripts/kernel_bench.py [--slots 16] [--seq 1280] [--reps 64]
+"""
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slots", type=int, default=16)
+    ap.add_argument("--seq", type=int, default=1280)
+    ap.add_argument("--reps", type=int, default=64)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from chatterbox_tpu.ops.pallas_attention import pallas_decode_attention
+    from chatterbox_tpu.ops.pallas_attention_v2 import pallas_decode_attention_hmajor
+
+    B, H, Dh, S = 2 * args.slots, 16, 64, args.seq
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    q0 = jax.random.normal(ks[0], (B, H, Dh), jnp.bfloat16)
+    kc_sh = jax.random.normal(ks[1], (B, S, H, Dh), jnp.bfloat16)   # seq-major
+    vc_sh = jax.random.normal(ks[2], (B, S, H, Dh), jnp.bfloat16)
+    kc_hm = jnp.swapaxes(kc_sh, 1, 2)                               # head-major
+    vc_hm = jnp.swapaxes(vc_sh, 1, 2)
+    kn = jax.random.normal(ks[3], (B, H, Dh), jnp.bfloat16)
+    vn = jax.random.normal(ks[4], (B, H, Dh), jnp.bfloat16)
+    start = jnp.zeros((B,), jnp.int32)
+    pos = jnp.full((B,), min(500, S), jnp.int32)
+
+    def ref_xla(q):
+        sc = jnp.einsum("bhd,bshd->bhs", q, kc_sh, preferred_element_type=jnp.float32) / (Dh ** 0.5)
+        idx = jnp.arange(S)[None, None, :]
+        sc = jnp.where((idx >= start[:, None, None]) & (idx < pos[:, None, None]), sc, -1e9)
+        ss = jnp.einsum("bhd,bhd->bh", q, kn, preferred_element_type=jnp.float32)[..., None] / (Dh ** 0.5)
+        p = jax.nn.softmax(jnp.concatenate([sc, ss], -1), -1)
+        o = jnp.einsum("bhs,bshd->bhd", p[..., :S].astype(jnp.bfloat16), vc_sh, preferred_element_type=jnp.float32)
+        return (o + p[..., S:] * vn.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def chain(fn):
+        @jax.jit
+        def run(q):
+            def body(i, qq):
+                return qq + fn(qq).astype(qq.dtype) * 1e-6
+
+            return jax.lax.fori_loop(0, args.reps, body, q)
+
+        return run
+
+    cases = [
+        ("xla fused (seq-major)", ref_xla),
+        ("pallas v1 (seq-major)", lambda q: pallas_decode_attention(q, kc_sh, vc_sh, kn, vn, start, pos)),
+        ("pallas v2 (head-major, b=S)", functools.partial(
+            lambda q, bs: pallas_decode_attention_hmajor(q, kc_hm, vc_hm, kn, vn, start, pos, block_s=bs), bs=S)),
+        ("pallas v2 (head-major, b=256)", functools.partial(
+            lambda q, bs: pallas_decode_attention_hmajor(q, kc_hm, vc_hm, kn, vn, start, pos, block_s=bs), bs=256)),
+    ]
+    bytes_per = 2 * B * H * S * Dh * 2
+    for name, fn in cases:
+        try:
+            run = chain(fn)
+            jax.block_until_ready(run(q0))
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(q0))
+            dt = (time.perf_counter() - t0) / args.reps
+            print(f"{name:32s} {dt*1e3:8.3f} ms/step  {bytes_per/dt/1e9:6.0f} GB/s")
+        except Exception as exc:
+            print(f"{name:32s} FAILED: {type(exc).__name__}: {exc}")
+
+
+if __name__ == "__main__":
+    main()
