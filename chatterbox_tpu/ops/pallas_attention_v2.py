@@ -17,10 +17,12 @@ Status (measured on TPU v5e, chained-loop benchmark, B=32 H=16 S=1280 bf16):
 XLA's fused attention: 0.81 ms/step (207 GB/s effective); this kernel:
 1.11 ms full / 0.85 ms at a 640-entry view. Both are overhead-bound, not
 bandwidth-bound (~25% of HBM peak) — per-(b,h) streams are only 64 lanes
-wide (Dh=64 of 128). The known next step is pairing heads so blocks span the
-full 128 lanes (q expanded to a [128, 2] block-diagonal operand). Until that
-lands, the XLA path remains the production default and this kernel is
-experimental.
+wide (Dh=64 of 128). A head-paired prototype (blocks spanning the full 128
+lanes via a block-diagonal q expansion) was also measured: 0.73 ms/step —
+only ~10% over XLA, i.e. every variant (XLA included) plateaus ~200-230 GB/s
+on this runtime, so the step is latency-bound somewhere above the kernel.
+Until that ceiling is understood, the XLA path remains the production
+default and this kernel is experimental.
 """
 from __future__ import annotations
 
