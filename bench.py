@@ -69,6 +69,12 @@ def main() -> None:
     dtype = jnp.bfloat16
     slice_tokens = 35
     t3c = T3Config().with_(kv_cache_dtype=os.environ.get("BENCH_KV", "native"))
+    # BENCH_KV_HEADS=N measures a grouped-query variant (smaller KV cache →
+    # more decode bandwidth headroom). Serving the pretrained checkpoint needs
+    # its 16 KV heads; this knob quantifies what GQA distillation would buy.
+    kv_heads = int(os.environ.get("BENCH_KV_HEADS", "0") or 0)
+    if kv_heads:
+        t3c = t3c.with_(num_kv_heads=kv_heads)
     s3c = S3GenConfig()
 
     t3_params = jax.device_put(init_t3_params(jax.random.PRNGKey(0), t3c, dtype))

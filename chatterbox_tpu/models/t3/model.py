@@ -281,24 +281,35 @@ def _backbone_decode_step(
         q = apply_rope(_split_heads(linear(x, lp["wq"]), cfg.num_heads, Dh), cos, sin, positions)
         k = apply_rope(_split_heads(linear(x, lp["wk"]), cfg.num_kv_heads, Dh), cos, sin, positions)
         v = _split_heads(linear(x, lp["wv"]), cfg.num_kv_heads, Dh)
-        kr, vr = _maybe_repeat_kv(k, cfg), _maybe_repeat_kv(v, cfg)
-        kcr, vcr = _maybe_repeat_kv(kc, cfg), _maybe_repeat_kv(vc, cfg)
+        G = cfg.num_heads // cfg.num_kv_heads
         if use_pallas:
+            kr, vr = _maybe_repeat_kv(k, cfg), _maybe_repeat_kv(v, cfg)
+            kcr, vcr = _maybe_repeat_kv(kc, cfg), _maybe_repeat_kv(vc, cfg)
             o = pallas_decode_attention(
                 q[:, 0], kcr, vcr, kr[:, 0], vr[:, 0], start, pos,
                 s_view=s_view,
             )[:, None]  # [B, 1, H, Dh]
         else:
-            # scores against the cache plus the current token itself
-            s_cache = jnp.einsum("bqhd,bkhd->bhqk", q, kcr, preferred_element_type=jnp.float32) * scale
+            # grouped attention WITHOUT materializing a repeated cache (the
+            # repeat would multiply cache traffic by G and erase GQA's win):
+            # fold query heads into [B, Hk, G, Dh] against the shared KV head.
+            qg = q[:, 0].reshape(B, cfg.num_kv_heads, G, Dh)
+            s_cache = jnp.einsum(
+                "bhgd,bkhd->bhgk", qg, kc, preferred_element_type=jnp.float32
+            ) * scale  # [B, Hk, G, S]
             s_cache = jnp.where(cache_valid, s_cache, NEG_INF)
-            s_self = jnp.einsum("bqhd,bqhd->bhq", q, kr, preferred_element_type=jnp.float32)[..., None] * scale
+            s_self = jnp.einsum(
+                "bhgd,bhd->bhg", qg, k[:, 0], preferred_element_type=jnp.float32
+            )[..., None] * scale  # [B, Hk, G, 1]
             probs = jax.nn.softmax(jnp.concatenate([s_cache, s_self], axis=-1), axis=-1)
             o = (
-                jnp.einsum("bhqk,bkhd->bqhd", probs[..., :S].astype(vcr.dtype), vcr, preferred_element_type=jnp.float32)
-                + probs[..., S:].transpose(0, 2, 1, 3).astype(jnp.float32)
-                * vr.astype(jnp.float32)
-            ).astype(h.dtype)
+                jnp.einsum(
+                    "bhgk,bkhd->bhgd", probs[..., :S].astype(vc.dtype), vc,
+                    preferred_element_type=jnp.float32,
+                )
+                + probs[..., S:].astype(jnp.float32) * v[:, 0][:, :, None, :].astype(jnp.float32)
+            ).astype(h.dtype)  # [B, Hk, G, Dh]
+            o = o.reshape(B, 1, cfg.num_heads, Dh)
         h = h + linear(o.reshape(B, 1, -1), lp["wo"])
         x = rms_norm(h, lp["mlp_norm"], cfg.rms_eps)
         h = h + swiglu(x, lp["w_gate"], lp["w_up"], lp["w_down"])
@@ -366,6 +377,10 @@ def t3_prefill_raw(
     h = jnp.take_along_axis(packed, src[:, :, None], axis=1)
     valid = jnp.arange(P)[None, :] >= pad[:, None]
     h = jnp.where(valid[:, :, None], h, 0.0)
+    # pin to the parameter dtype: float32 conditioning inputs (speaker embs
+    # etc.) otherwise promote the whole prefix — and the resulting K/V would
+    # mismatch a bfloat16 cache
+    h = h.astype(params["text_emb"].dtype)
 
     _, k_all, v_all = _backbone_prefill(params, cfg, h, valid)
     return k_all, v_all, pad

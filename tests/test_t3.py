@@ -71,6 +71,36 @@ def test_incremental_decode_matches_full_attention(params):
         )
 
 
+def test_incremental_decode_matches_full_attention_gqa():
+    """Grouped-query decode (fewer KV heads, no repeated cache) must also
+    reproduce the full causal forward."""
+    cfg = T3Config.tiny().with_(num_kv_heads=2)  # 4 query heads / 2 KV heads
+    params = init_t3_params(jax.random.PRNGKey(5), cfg)
+    B, S, S0 = 2, 10, 6
+    h = jax.random.normal(jax.random.PRNGKey(6), (B, S, cfg.hidden_size), jnp.float32) * 0.1
+    valid = jnp.ones((B, S), dtype=bool)
+    hidden_full, _, _ = _backbone_prefill(params, cfg, h, valid)
+    hidden_pre, k0, v0 = _backbone_prefill(params, cfg, h[:, :S0], valid[:, :S0])
+    S_max = S + 2
+    pad = ((0, 0), (0, 0), (0, S_max - S0), (0, 0), (0, 0))
+    cache = {
+        "k": jnp.pad(k0, pad),
+        "v": jnp.pad(v0, pad),
+        "start": jnp.zeros((B,), jnp.int32),
+        "pos": jnp.full((B,), S0, jnp.int32),
+    }
+    for t in range(S0, S):
+        hid, k_new, v_new = _backbone_decode_step(
+            params, cfg, h[:, t : t + 1], cache["k"], cache["v"], cache["start"], cache["pos"]
+        )
+        cache["k"] = _write_cache(cache["k"], k_new, cache["pos"])
+        cache["v"] = _write_cache(cache["v"], v_new, cache["pos"])
+        cache["pos"] = cache["pos"] + 1
+        np.testing.assert_allclose(
+            np.asarray(hid[:, 0]), np.asarray(hidden_full[:, t]), atol=2e-4, rtol=2e-3
+        )
+
+
 def test_left_padding_invariance(params):
     """A row left-padded inside the text bucket must produce the same first
     sampled token as an unpadded row (greedy, CFG off)."""
