@@ -27,8 +27,8 @@ COPY run.py .
 # Comment out to mount MODEL_PATH at runtime instead.
 RUN python scripts/download_models.py models || true
 
-RUN mkdir -p voices preloaded-voices && chown -R appuser:appuser /app
 COPY preloaded-voices/ preloaded-voices/
+RUN mkdir -p voices && chown -R appuser:appuser /app
 
 USER appuser
 ENV HOST=0.0.0.0 PORT=8000 MODEL_PATH=/app/models
