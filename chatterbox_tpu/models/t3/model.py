@@ -348,22 +348,22 @@ def _dequantize_kv(q: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------- prefill
-def t3_prefill_raw(
+def _left_pack_prefix(
     params: Params,
     cfg: T3Config,
-    cond: jnp.ndarray,         # [B, C, D] conditioning prefix (per lane)
+    cond: jnp.ndarray,         # [B, C, D]
     text_tokens: jnp.ndarray,  # [B, T_pad] int32, right-padded
     text_len: jnp.ndarray,     # [B] valid lengths
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Run the prefix through the backbone → (k_all, v_all, pad).
+    """Build the left-padded prefix [pad(T_pad-t_len) | cond | text].
 
-    The row is left-padded: [pad(T_pad-t_len) | cond | text]. Implemented as a
+    Returns (h [B, P, D], valid [B, P] bool, pad [B]). Implemented as a
     per-row gather from the right-packed layout so shapes stay static.
-    k_all/v_all: [L, B, P, Hk, Dh]; pad: [B] left-pad widths (= cache start).
+    Shared by prefill (serving) and the teacher-forced train pass so both see
+    identical text→speech relative RoPE positions.
     """
-    B, C = cond.shape[0], cond.shape[1]
     T_pad = text_tokens.shape[1]
-    P = C + T_pad
+    P = cond.shape[1] + T_pad
 
     text_emb = params["text_emb"][text_tokens]
     if cfg.learned_pos_emb:
@@ -377,6 +377,22 @@ def t3_prefill_raw(
     h = jnp.take_along_axis(packed, src[:, :, None], axis=1)
     valid = jnp.arange(P)[None, :] >= pad[:, None]
     h = jnp.where(valid[:, :, None], h, 0.0)
+    return h, valid, pad
+
+
+def t3_prefill_raw(
+    params: Params,
+    cfg: T3Config,
+    cond: jnp.ndarray,         # [B, C, D] conditioning prefix (per lane)
+    text_tokens: jnp.ndarray,  # [B, T_pad] int32, right-padded
+    text_len: jnp.ndarray,     # [B] valid lengths
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run the prefix through the backbone → (k_all, v_all, pad).
+
+    The row is left-padded: [pad(T_pad-t_len) | cond | text].
+    k_all/v_all: [L, B, P, Hk, Dh]; pad: [B] left-pad widths (= cache start).
+    """
+    h, valid, pad = _left_pack_prefix(params, cfg, cond, text_tokens, text_len)
     # pin to the parameter dtype: float32 conditioning inputs (speaker embs
     # etc.) otherwise promote the whole prefix — and the resulting K/V would
     # mismatch a bfloat16 cache
@@ -573,27 +589,20 @@ def t3_forward_train(
     B, T = text_tokens.shape
     S = speech_tokens.shape[1]
     C = cond.shape[1]
-    text_emb = params["text_emb"][text_tokens]
-    if cfg.learned_pos_emb:
-        text_emb = text_emb + params["text_pos"][jnp.arange(T)][None]
     bos = jnp.full((B, 1), cfg.start_speech_token, jnp.int32)
     speech_in = jnp.concatenate([bos, speech_tokens[:, :-1]], axis=1)
     speech_emb = params["speech_emb"][speech_in]
     if cfg.learned_pos_emb:
         speech_emb = speech_emb + params["speech_pos"][jnp.arange(S)][None]
-    h = jnp.concatenate([cond, text_emb, speech_emb], axis=1)
+    # Left-pack [pad | cond | text] exactly as serving prefill does, so the
+    # RoPE distance from the last text token to speech BOS is identical in
+    # training and inference (right-padded text would leave a per-row
+    # position gap of T - text_len before speech BOS).
     if text_len is None:
-        valid = jnp.ones(h.shape[:2], dtype=bool)
-    else:
-        text_valid = jnp.arange(T)[None, :] < text_len[:, None]
-        valid = jnp.concatenate(
-            [
-                jnp.ones((B, C), dtype=bool),
-                text_valid,
-                jnp.ones((B, S), dtype=bool),
-            ],
-            axis=1,
-        )
+        text_len = jnp.full((B,), T, jnp.int32)
+    prefix, prefix_valid, _ = _left_pack_prefix(params, cfg, cond, text_tokens, text_len)
+    h = jnp.concatenate([prefix, speech_emb.astype(prefix.dtype)], axis=1)
+    valid = jnp.concatenate([prefix_valid, jnp.ones((B, S), dtype=bool)], axis=1)
     hidden, _, _ = _backbone_prefill(params, cfg, h, valid)
     speech_hidden = hidden[:, cond.shape[1] + T :]
     return linear(

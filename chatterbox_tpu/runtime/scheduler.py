@@ -233,7 +233,11 @@ class BatchedT3Decoder:
         while self._free and not self._pending.empty():
             sub = self._pending.get_nowait()
             if sub.cancellation is not None and sub.cancellation.is_cancelled():
-                sub.slot_future.set_exception(asyncio.CancelledError())
+                # the awaiting task may itself already be cancelled, leaving
+                # the future done — resolving it again raises InvalidStateError
+                # and would kill the decoder loop for every in-flight request
+                if not sub.slot_future.done():
+                    sub.slot_future.set_exception(asyncio.CancelledError())
                 continue
             slot = self._free.pop(0)
 
@@ -260,6 +264,13 @@ class BatchedT3Decoder:
                         DecodeError(f"prefill insert failed: {exc}")
                     )
                 raise
+            if sub.slot_future.done():
+                # the waiter was cancelled while we prefilled its slot: nobody
+                # will ever consume this slot, so park it done and hand the
+                # slot back instead of set_result (→ InvalidStateError).
+                self.state = self._finish_fn()(self.state, slot)
+                self._free.insert(0, slot)
+                continue
             self._queues[slot] = asyncio.Queue()
             self._pos_host[slot] = self.cfg.cond_len + sub.text.shape[1]
             self._produced[slot] = 0

@@ -97,6 +97,47 @@ def test_slot_reuse_and_cap(setup):
     assert len(a) <= 8 and len(b) <= 8
 
 
+def test_queued_waiter_cancelled_while_slots_busy(setup):
+    """Regression (ADVICE r1 high): a request cancelled while *queued* for a
+    slot leaves its slot_future cancelled; _admit must not set_result /
+    set_exception on it (InvalidStateError would kill the decoder loop and
+    fail every in-flight request)."""
+    params, lanes = setup
+
+    async def run():
+        dec = BatchedT3Decoder(params, CFG, n_slots=1, slice_size=4)
+        try:
+            text, tlen = _text([255, 4, 0])
+
+            # occupy the only slot with a long request
+            holder = asyncio.create_task(
+                _collect(dec, lanes, text, tlen, max_new=40)
+            )
+            await asyncio.sleep(0.3)  # holder admitted, decoding
+
+            # queue a second request, then cancel the awaiting task (client
+            # disconnect while waiting for a slot)
+            waiter = asyncio.create_task(
+                _collect(dec, lanes, text, tlen, max_new=8)
+            )
+            await asyncio.sleep(0.05)
+            waiter.cancel()
+            with pytest.raises(asyncio.CancelledError):
+                await waiter
+
+            toks = await asyncio.wait_for(holder, timeout=120)
+            # a third request must still be servable (loop alive, slot free)
+            toks2 = await asyncio.wait_for(
+                _collect(dec, lanes, text, tlen, max_new=8), timeout=120
+            )
+            return toks, toks2
+        finally:
+            dec.stop()
+
+    toks, toks2 = asyncio.run(run())
+    assert len(toks) >= 1 and len(toks2) >= 1
+
+
 def test_cancellation_releases_slot(setup):
     params, lanes = setup
 
