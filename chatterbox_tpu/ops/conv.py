@@ -13,7 +13,7 @@ def conv1d(
     b: Optional[jnp.ndarray] = None,
     stride: int = 1,
     dilation: int = 1,
-    padding: str = "SAME",     # "SAME" | "VALID" | "CAUSAL"
+    padding: str = "SAME",     # "SAME" | "VALID" | "CAUSAL" | "SAME_TORCH"
     groups: int = 1,
 ) -> jnp.ndarray:
     K = w.shape[0]
@@ -22,6 +22,13 @@ def conv1d(
     if padding == "CAUSAL":
         pad_amt = (K - 1) * dilation
         x = jnp.pad(x, ((0, 0), (pad_amt, 0), (0, 0)))
+        pad = "VALID"
+    elif padding == "SAME_TORCH":
+        # torch Conv1d(padding=(K-1)//2 * dilation): symmetric explicit pad.
+        # Differs from XLA "SAME" when stride > 1 (XLA right-biases the pad),
+        # so strided convs converted from torch checkpoints must use this.
+        p = (K - 1) // 2 * dilation
+        x = jnp.pad(x, ((0, 0), (p, p), (0, 0)))
         pad = "VALID"
     else:
         pad = padding
@@ -47,7 +54,12 @@ def conv_transpose1d(
     stride: int = 1,
 ) -> jnp.ndarray:
     """Transposed conv with output length T*stride (HiFiGAN-style upsampling:
-    kernel K, stride s, pad (K-s)//2 — requires (K-s) even)."""
+    kernel K, stride s, pad (K-s)//2 — requires (K-s) even).
+
+    Matches torch ``conv_transpose1d`` exactly for a kernel in [K, Cin, Cout]
+    layout (torch's [Cin, Cout, K] moved-axis): lax.conv_transpose correlates
+    where torch's transposed conv convolves, so the kernel is flipped along
+    the spatial axis here."""
     K = w.shape[0]
     if x.dtype != w.dtype:
         x = x.astype(w.dtype)
@@ -56,7 +68,7 @@ def conv_transpose1d(
     pad_hi = pad_total - pad_lo
     y = jax.lax.conv_transpose(
         x,
-        w,
+        w[::-1],
         strides=(stride,),
         padding=((K - 1 - pad_lo, K - 1 - pad_hi),),
         dimension_numbers=("NWC", "WIO", "NWC"),
