@@ -14,6 +14,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+from ..native import crossfade_mix as _native_crossfade
+
 
 def equal_power_curves(fade_len: int) -> Tuple[np.ndarray, np.ndarray]:
     """(fade_out, fade_in) = (cos, sin) quarter-wave envelopes of length fade_len."""
@@ -76,7 +78,11 @@ class CrossfadeStitcher:
             and chunk.shape[0] > fl
         )
         if can_fade:
-            mixed = self._held * self.fade_out + chunk[:fl] * self.fade_in
+            # hot-path mix via the C++ audiokit when available (identical
+            # curves — tests/test_native.py asserts the match); numpy fallback
+            mixed = _native_crossfade(self._held, chunk[:fl])
+            if mixed is None:
+                mixed = self._held * self.fade_out + chunk[:fl] * self.fade_in
             # hold at most fade_len of the *unconsumed* samples — never
             # samples already mixed (short chunks would be double-played)
             hold = min(fl, chunk.shape[0] - fl)

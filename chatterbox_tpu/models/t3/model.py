@@ -256,7 +256,13 @@ def _backbone_decode_step(
     from ...ops.pallas_attention import pallas_decode_attention, pallas_enabled
 
     use_pallas = (
-        pallas_enabled() and jax.default_backend() == "tpu" and not quantized
+        pallas_enabled()
+        and jax.default_backend() == "tpu"
+        and not quantized
+        # under GQA the kernel would need a G-times repeated cache per layer
+        # per step — exactly the bandwidth the grouped XLA path avoids; keep
+        # XLA until the kernel is GQA-aware (ADVICE r1)
+        and cfg.num_kv_heads == cfg.num_heads
     )
 
     def layer(h, xs):

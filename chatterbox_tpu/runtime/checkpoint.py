@@ -61,15 +61,20 @@ def save_checkpoint(path: str | Path, params: Dict, engine_cfg) -> None:
     for name, tree in params.items():
         host = jax.tree.map(lambda x: np.asarray(x, dtype=np.float32), tree)
         save_file(_flatten(host), str(path / f"{name}.safetensors"))
+    configs = {
+        "t3": dataclasses.asdict(engine_cfg.t3),
+        "ve": dataclasses.asdict(engine_cfg.ve),
+    }
+    if getattr(engine_cfg, "s3gen_arch", "dit") == "ref":
+        configs["s3gen"] = dataclasses.asdict(engine_cfg.s3gen_ref)
+    else:
+        configs["s3gen"] = dataclasses.asdict(engine_cfg.s3gen)
+        configs["s3tok"] = dataclasses.asdict(engine_cfg.s3tok)
     manifest = {
         "format": "chatterbox_tpu/v1",
         "models": sorted(params.keys()),
-        "configs": {
-            "t3": dataclasses.asdict(engine_cfg.t3),
-            "s3gen": dataclasses.asdict(engine_cfg.s3gen),
-            "s3tok": dataclasses.asdict(engine_cfg.s3tok),
-            "ve": dataclasses.asdict(engine_cfg.ve),
-        },
+        "s3gen_arch": getattr(engine_cfg, "s3gen_arch", "dit"),
+        "configs": configs,
     }
     (path / NATIVE_MANIFEST).write_text(json.dumps(manifest, indent=2))
 
@@ -84,6 +89,7 @@ def load_checkpoint(path: str | Path, engine_cfg, dtype) -> Dict:
     from safetensors.numpy import load_file
 
     from ..models.s3gen import init_s3gen_params
+    from ..models.s3gen_ref import init_s3gen_ref_params
     from ..models.s3tok import init_s3tok_params
     from ..models.t3 import init_t3_params
     from ..models.voice_encoder import init_voice_encoder_params
@@ -91,15 +97,26 @@ def load_checkpoint(path: str | Path, engine_cfg, dtype) -> Dict:
     from ..ops.initializers import shape_only_init
 
     path = Path(path)
+    manifest = json.loads((path / NATIVE_MANIFEST).read_text())
+    arch = manifest.get("s3gen_arch", "dit")
+    cfg_arch = getattr(engine_cfg, "s3gen_arch", "dit")
+    if arch != cfg_arch:
+        raise ValueError(
+            f"checkpoint was saved with s3gen_arch={arch!r} but the engine is "
+            f"configured for {cfg_arch!r} (set CHATTERBOX_S3GEN_ARCH={arch})"
+        )
     key = jax.random.PRNGKey(0)
     k1, k2, k3, k4 = jax.random.split(key, 4)
     with shape_only_init():  # structural templates only — no RNG/allocation
         templates = {
             "t3": init_t3_params(k1, engine_cfg.t3, dtype),
-            "s3gen": init_s3gen_params(k2, engine_cfg.s3gen, dtype),
-            "s3tok": init_s3tok_params(k3, engine_cfg.s3tok, dtype),
             "ve": init_voice_encoder_params(k4, engine_cfg.ve, dtype),
         }
+        if arch == "ref":
+            templates["s3gen"] = init_s3gen_ref_params(k2, engine_cfg.s3gen_ref, dtype)
+        else:
+            templates["s3gen"] = init_s3gen_params(k2, engine_cfg.s3gen, dtype)
+            templates["s3tok"] = init_s3tok_params(k3, engine_cfg.s3tok, dtype)
     params = {}
     for name, template in templates.items():
         flat = load_file(str(path / f"{name}.safetensors"))

@@ -39,6 +39,13 @@ from ..audio.pcm import float_to_pcm16, read_wav, resample
 from ..config import get_settings, get_tts_config
 from ..logging_config import log
 from ..models.s3gen import S3GenConfig, init_s3gen_params, s3gen_embed_ref, s3gen_inference
+from ..models.s3gen_ref import (
+    S3GenRefConfig,
+    init_s3gen_ref_params,
+    s3gen_ref_embed_ref,
+    s3gen_ref_inference,
+    s3tok_ref_tokenize,
+)
 from ..models.s3tok import S3TokConfig, init_s3tok_params, s3tok_tokenize
 from ..models.t3 import (
     T3Config,
@@ -84,6 +91,19 @@ class EngineConfig:
     text_bucket: int = 16       # pad text token counts to multiples of this
     max_new_tokens: int = 1000  # reference decode cap (tts_streaming.py:423)
     param_dtype: str = "float32"
+    # Token-to-waveform architecture:
+    #   "ref" — checkpoint-compatible reference stack (models/s3gen_ref):
+    #           loads the pretrained s3gen.safetensors voices 1:1.
+    #   "dit" — TPU-first DiT redesign (models/s3gen): faster, but needs its
+    #           own (retrained/distilled) weights for real voices.
+    s3gen_arch: str = "dit"
+    s3gen_ref: Optional[S3GenRefConfig] = None
+
+    @property
+    def gen(self):
+        """The active token-to-waveform config (sample_rate/samples_per_token
+        surface is identical across architectures)."""
+        return self.s3gen_ref if self.s3gen_arch == "ref" else self.s3gen
 
     @staticmethod
     def tiny() -> "EngineConfig":
@@ -97,13 +117,22 @@ class EngineConfig:
         )
 
     @staticmethod
+    def tiny_ref() -> "EngineConfig":
+        return dataclasses.replace(
+            EngineConfig.tiny(), s3gen_arch="ref", s3gen_ref=S3GenRefConfig.tiny()
+        )
+
+    @staticmethod
     def full(param_dtype: str = "bfloat16") -> "EngineConfig":
+        arch = os.environ.get("CHATTERBOX_S3GEN_ARCH", "ref")
         return EngineConfig(
             t3=T3Config(),
             s3gen=S3GenConfig(),
             s3tok=S3TokConfig(),
             ve=VoiceEncoderConfig(),
             param_dtype=param_dtype,
+            s3gen_arch=arch,
+            s3gen_ref=S3GenRefConfig() if arch == "ref" else None,
         )
 
 
@@ -139,14 +168,38 @@ def _queue_put_final(q: asyncio.Queue, item) -> None:
         pass
 
 
+# Public API knob `audio_tokens_per_slice` is snapped server-side to this set
+# so every reachable shape is precompiled (a free-form int would otherwise
+# compile a fresh S3Gen bucket ladder at request time — ~10 s stalls;
+# VERDICT r1 item 8). Deliberate deviation: the reference accepts any int.
+SLICE_SIZE_SNAP = (8, 16, 25, 35, 50, 70, 100)
+
+
+def _snap_slice_size(requested: int, cap: int) -> int:
+    requested = max(1, min(requested, cap))
+    snapped = min(SLICE_SIZE_SNAP, key=lambda s: (abs(s - requested), s))
+    return max(1, min(snapped, cap))
+
+
+def _lookahead_size(slice_size: int) -> int:
+    """First-slice look-ahead: emit the first token group early so S3Gen
+    starts sooner (reference: max(3, 0.2·slice) — tts_streaming.py:499-501)."""
+    return max(3, -(-slice_size // 5))
+
+
 def _token_bucket_sizes(slice_size: int, cap: int):
-    """Doubling buckets for the accumulated-token axis: s, 2s, 4s, ... cap."""
-    sizes = []
-    s = slice_size
-    while s < cap:
-        sizes.append(s)
-        s *= 2
-    sizes.append(cap)
+    """Buckets for the accumulated-token axis: an exact-fit first bucket for
+    the slice size, then a doubling ladder SHARED across all slice sizes
+    (32, 64, ... cap) so most S3Gen graph shapes are reused between
+    requests with different audio_tokens_per_slice."""
+    sizes = [min(slice_size, cap)]
+    b = 32
+    while b < cap:
+        if b > sizes[-1]:
+            sizes.append(b)
+        b *= 2
+    if sizes[-1] < cap:
+        sizes.append(cap)
     return sizes
 
 
@@ -168,12 +221,16 @@ def ensure_backend_initialized() -> None:
 class TTSEngine:
     ENC_COND_LEN = 6 * S3_SR       # tokenizer prompt budget (reference :167)
     DEC_COND_LEN = 10 * S3GEN_SR   # embed_ref budget (reference :168)
+    DEC16_COND_LEN = 10 * S3_SR    # 16 kHz view of the embed_ref budget
 
     def __init__(self, engine_cfg: Optional[EngineConfig] = None, seed: int = 0):
         settings = get_settings()
         if engine_cfg is None:
             if os.environ.get("CHATTERBOX_TINY_MODEL"):
-                engine_cfg = EngineConfig.tiny()
+                if os.environ.get("CHATTERBOX_S3GEN_ARCH", "dit") == "ref":
+                    engine_cfg = EngineConfig.tiny_ref()
+                else:
+                    engine_cfg = EngineConfig.tiny()
             else:
                 engine_cfg = EngineConfig.full(settings.DTYPE_POLICY)
             if settings.KV_CACHE_DTYPE != "native":
@@ -183,7 +240,8 @@ class TTSEngine:
                 )
         self.cfg = engine_cfg
         self.seed = seed
-        self.sr = engine_cfg.s3gen.sample_rate
+        self.gen_cfg = engine_cfg.gen  # active token→waveform config
+        self.sr = self.gen_cfg.sample_rate
         self.voice_manager = VoiceManager()
         self.voice_cache: Dict[str, Conditionals] = {}
         self.params: Optional[Dict] = None
@@ -233,7 +291,7 @@ class TTSEngine:
                     seed=self.seed,
                 )
                 self.s3gen_scheduler = S3GenScheduler(
-                    self.params["s3gen"], self.cfg.s3gen
+                    self.params["s3gen"], self.gen_cfg, infer=self._s3gen_infer_fn()
                 )
             self._progress = "Warming up compiled graphs..."
             await asyncio.to_thread(self._warmup)
@@ -262,7 +320,7 @@ class TTSEngine:
         tts_cfg = get_tts_config()
         slice_size = max(1, min(tts_cfg.AUDIO_TOKENS_PER_SLICE, self.cfg.max_new_tokens))
         t3c = self.cfg.t3
-        s3c = self.cfg.s3gen
+        s3c = self.gen_cfg
         spt = s3c.samples_per_token
         compiled = 0
         try:
@@ -270,7 +328,15 @@ class TTSEngine:
             ref_shapes = shape_of(conds.gen_ref)
             params_shapes = shape_of(self.params)
             key_shape = jax.ShapeDtypeStruct((2,), jnp.uint32)
-            for T in _token_bucket_sizes(slice_size, t3c.max_speech_tokens + 8):
+            # every bucket reachable through the snapped slice-size knob:
+            # per-size exact-fit first buckets + the shared doubling ladder
+            cap = t3c.max_speech_tokens + 8
+            buckets: list = []
+            for s in sorted({_snap_slice_size(s, self.cfg.max_new_tokens) for s in SLICE_SIZE_SNAP}):
+                for b in _token_bucket_sizes(s, cap):
+                    if b not in buckets:
+                        buckets.append(b)
+            for T in sorted(buckets):
                 def compile_bucket(T=T):
                     self._jit_s3gen().lower(
                         params_shapes["s3gen"],
@@ -348,15 +414,23 @@ class TTSEngine:
                     )
                 else:
                     views = [None]
+                # all decode-slice lengths reachable via the snapped knob,
+                # plus their first-slice look-ahead lengths
+                n_steps = set()
+                for s in SLICE_SIZE_SNAP:
+                    s = _snap_slice_size(s, self.cfg.max_new_tokens)
+                    n_steps.add(s)
+                    n_steps.add(min(_lookahead_size(s), self.cfg.max_new_tokens))
                 for s_view in views:
-                    def compile_view(s_view=s_view):
-                        t3_decode_slice.lower(
-                            params_shapes["t3"], t3c, cache_shapes, state_shapes,
-                            slice_size, s_view,
-                        ).compile()
+                    for n in sorted(n_steps):
+                        def compile_view(s_view=s_view, n=n):
+                            t3_decode_slice.lower(
+                                params_shapes["t3"], t3c, cache_shapes, state_shapes,
+                                n, s_view,
+                            ).compile()
 
-                    await asyncio.to_thread(compile_view)
-                    compiled += 1
+                        await asyncio.to_thread(compile_view)
+                        compiled += 1
             log.info("Precompiled %d graph variants in the background", compiled)
         except asyncio.CancelledError:
             raise
@@ -414,10 +488,14 @@ class TTSEngine:
             log.info("No checkpoint found at %s — random-init weights", model_dir)
             self.params = {
                 "t3": init_t3_params(k1, self.cfg.t3, dtype),
-                "s3gen": init_s3gen_params(k2, self.cfg.s3gen, dtype),
-                "s3tok": init_s3tok_params(k3, self.cfg.s3tok, dtype),
                 "ve": init_voice_encoder_params(k4, self.cfg.ve, dtype),
             }
+            if self.cfg.s3gen_arch == "ref":
+                # the checkpoint tokenizer lives inside the s3gen_ref pytree
+                self.params["s3gen"] = init_s3gen_ref_params(k2, self.cfg.s3gen_ref, dtype)
+            else:
+                self.params["s3gen"] = init_s3gen_params(k2, self.cfg.s3gen, dtype)
+                self.params["s3tok"] = init_s3tok_params(k3, self.cfg.s3tok, dtype)
         # Multi-chip: tensor-parallel sharding of T3 over an ICI mesh
         # (CHATTERBOX_TP=N). Other models are small; they replicate.
         tp = int(os.environ.get("CHATTERBOX_TP", "0") or 0)
@@ -463,8 +541,15 @@ class TTSEngine:
                 self.params["t3"], self.cfg.t3, cache, state, slice_size, s_view
             )
             np.asarray(tokens)  # block
+            # the first-slice look-ahead length is its own compiled variant
+            la = min(_lookahead_size(slice_size), self.cfg.max_new_tokens)
+            if la != slice_size:
+                tokens, cache, state = t3_decode_slice(
+                    self.params["t3"], self.cfg.t3, cache, state, la, s_view
+                )
+                np.asarray(tokens)
         bucket = _token_bucket_sizes(slice_size, self.cfg.t3.max_speech_tokens)[0]
-        spt = self.cfg.s3gen.samples_per_token
+        spt = self.gen_cfg.samples_per_token
         self._jit_s3gen()(
             self.params["s3gen"],
             jnp.zeros((1, bucket), jnp.int32),
@@ -486,31 +571,54 @@ class TTSEngine:
             self._jit_cache["prefill"] = jax.jit(prefill)
         return self._jit_cache["prefill"]
 
-    def _jit_s3gen(self):
-        if "s3gen" not in self._jit_cache:
+    def _s3gen_infer_fn(self):
+        """The active architecture's pure inference fn (identical signature)."""
+        if self.cfg.s3gen_arch == "ref":
+            cfg = self.cfg.s3gen_ref
+
+            def infer(params, tokens, token_len, ref, src, cache_len, key):
+                return s3gen_ref_inference(params, cfg, tokens, token_len, ref, src, cache_len, key)
+        else:
             cfg = self.cfg.s3gen
 
             def infer(params, tokens, token_len, ref, src, cache_len, key):
                 return s3gen_inference(params, cfg, tokens, token_len, ref, src, cache_len, key)
 
-            self._jit_cache["s3gen"] = jax.jit(infer)
+        return infer
+
+    def _jit_s3gen(self):
+        if "s3gen" not in self._jit_cache:
+            self._jit_cache["s3gen"] = jax.jit(self._s3gen_infer_fn())
         return self._jit_cache["s3gen"]
 
     def _jit_cond(self):
         if "cond" not in self._jit_cache:
-            t3c, s3c, vec, tokc = self.cfg.t3, self.cfg.s3gen, self.cfg.ve, self.cfg.s3tok
+            t3c, vec, arch = self.cfg.t3, self.cfg.ve, self.cfg.s3gen_arch
+            s3c = self.cfg.s3gen
+            refc = self.cfg.s3gen_ref
+            tokc = self.cfg.s3tok
 
-            def build(params, wav24, wav16, wav16_len, exaggeration):
-                prompt_tokens, prompt_len = s3tok_tokenize(
-                    params["s3tok"], tokc, wav16, wav16_len
-                )
+            def build(params, wav24, wav24_len, wav16, wav16_len_enc, wav16_len_dec, exaggeration):
+                # wav16 is one 10 s buffer with two valid lengths: the T3
+                # prompt tokenizes ≤6 s (reference ENC_COND_LEN,
+                # tts_streaming.py:369-372) while embed_ref/VE consume ≤10 s.
+                # The ref arch tokenizes with the checkpoint tokenizer
+                # (s3gen.tokenizer), exactly as the reference does.
+                if arch == "ref":
+                    prompt_tokens, prompt_len = s3tok_ref_tokenize(
+                        params["s3gen"]["tokenizer"], refc.tokenizer, wav16, wav16_len_enc
+                    )
+                else:
+                    prompt_tokens, prompt_len = s3tok_tokenize(
+                        params["s3tok"], tokc, wav16, wav16_len_enc
+                    )
                 P = t3c.speech_cond_prompt_len
                 prompt_tokens = prompt_tokens[:, :P]
                 prompt_tokens = jnp.pad(
                     prompt_tokens, ((0, 0), (0, P - prompt_tokens.shape[1]))
                 )
                 t3_prompt_len = jnp.minimum(prompt_len, P)
-                spk = voice_embed(params["ve"], vec, wav16, wav16_len)
+                spk = voice_embed(params["ve"], vec, wav16, wav16_len_dec)
                 cond = cond_embeddings(
                     params["t3"], t3c, spk, prompt_tokens, exaggeration, t3_prompt_len
                 )
@@ -519,13 +627,18 @@ class TTSEngine:
                     jnp.zeros_like(exaggeration), t3_prompt_len,
                 )
                 lanes = jnp.concatenate([cond, uncond], axis=0)  # [2, C, D]
-                fbank = log_mel_spectrogram(wav16, 16000, 400, 160, 80)
-                ref = s3gen_embed_ref(
-                    params["s3gen"], s3c, wav24, fbank,
-                    prompt_tokens[:, : s3c.max_prompt_tokens],
-                    jnp.minimum(prompt_len, s3c.max_prompt_tokens),
-                    fbank_len=wav16_len // 160,
-                )
+                if arch == "ref":
+                    ref = s3gen_ref_embed_ref(
+                        params["s3gen"], refc, wav24, wav24_len, wav16, wav16_len_dec
+                    )
+                else:
+                    fbank = log_mel_spectrogram(wav16, 16000, 400, 160, 80)
+                    ref = s3gen_embed_ref(
+                        params["s3gen"], s3c, wav24, fbank,
+                        prompt_tokens[:, : s3c.max_prompt_tokens],
+                        jnp.minimum(prompt_len, s3c.max_prompt_tokens),
+                        fbank_len=wav16_len_dec // 160,
+                    )
                 return lanes, ref
 
             self._jit_cache["cond"] = jax.jit(build)
@@ -537,7 +650,8 @@ class TTSEngine:
             wav24 = jnp.zeros((1, 2 * S3GEN_SR))
             wav16 = jnp.zeros((1, 2 * S3_SR))
             lanes, ref = self._jit_cond()(
-                self.params, wav24, wav16, jnp.array([2 * S3_SR], jnp.int32),
+                self.params, wav24, jnp.array([2 * S3GEN_SR], jnp.int32),
+                wav16, jnp.array([2 * S3_SR], jnp.int32), jnp.array([2 * S3_SR], jnp.int32),
                 jnp.array([get_tts_config().VOICE_EXAGGERATION_FACTOR], jnp.float32),
             )
             self.voice_cache["default"] = Conditionals(lanes, ref)
@@ -548,14 +662,16 @@ class TTSEngine:
         (reference tts_streaming.py:357-384)."""
         wav, sr = read_wav(wav_fpath)
         wav24 = resample(wav, sr, S3GEN_SR)[: self.DEC_COND_LEN]
-        wav16 = resample(wav, sr, S3_SR)[: self.ENC_COND_LEN]
+        wav16 = resample(wav, sr, S3_SR)[: self.DEC16_COND_LEN]
         # static-size pads (one compiled graph for all voices)
         w24 = np.zeros((1, self.DEC_COND_LEN), np.float32)
         w24[0, : len(wav24)] = wav24
-        w16 = np.zeros((1, self.ENC_COND_LEN), np.float32)
+        w16 = np.zeros((1, self.DEC16_COND_LEN), np.float32)
         w16[0, : len(wav16)] = wav16
         lanes, ref = self._jit_cond()(
-            self.params, jnp.asarray(w24), jnp.asarray(w16),
+            self.params, jnp.asarray(w24), jnp.array([len(wav24)], jnp.int32),
+            jnp.asarray(w16),
+            jnp.array([min(len(wav16), self.ENC_COND_LEN)], jnp.int32),
             jnp.array([len(wav16)], jnp.int32),
             jnp.array([get_tts_config().VOICE_EXAGGERATION_FACTOR], jnp.float32),
         )
@@ -616,7 +732,7 @@ class TTSEngine:
             token_q: asyncio.Queue = asyncio.Queue(maxsize=tts_cfg.SPEECH_TOKEN_QUEUE_MAX_SIZE)
             pcm_q: asyncio.Queue = asyncio.Queue(maxsize=tts_cfg.PCM_CHUNK_QUEUE_MAX_SIZE)
 
-            slice_size = max(1, min(audio_tokens_per_slice, self.cfg.max_new_tokens))
+            slice_size = _snap_slice_size(audio_tokens_per_slice, self.cfg.max_new_tokens)
 
             t3_task = asyncio.create_task(
                 self._t3_producer(
@@ -738,7 +854,9 @@ class TTSEngine:
                 while produced < self.cfg.max_new_tokens and not done:
                     if token.is_cancelled():
                         break
-                    n = min(slice_size, self.cfg.max_new_tokens - produced)
+                    # first decode slice is the short look-ahead group
+                    want = _lookahead_size(slice_size) if produced == 0 else slice_size
+                    n = min(want, self.cfg.max_new_tokens - produced)
                     if _pallas_active():
                         need = pos0 + produced + n + 1
                         s_view = min(cache_depth, ((need + 255) // 256) * 256)
@@ -831,18 +949,21 @@ class TTSEngine:
             cancelled, _ = await race_cancellation(token_q.put(item), token)
             return not cancelled
 
+        # first group goes out early (look-ahead) so S3Gen starts sooner
+        target = min(_lookahead_size(slice_size), slice_size)
         async for row in self.decoder.decode_chunk(
             np.asarray(conds.t3_cond_lanes), lanes, text_len, temperature,
             0.95, cfg_weight, 1.2, self.cfg.max_new_tokens, token,
             seed=_stable_seed(request_id) + chunk_idx,
         ):
             buf = np.concatenate([buf, row])
-            while len(buf) >= slice_size:
+            while len(buf) >= target:
                 if pending is not None and not await emit(pending):
                     return -1
                 slice_idx += 1
-                pending = make_item(buf[:slice_size], slice_idx)
-                buf = buf[slice_size:]
+                pending = make_item(buf[:target], slice_idx)
+                buf = buf[target:]
+                target = slice_size
         if len(buf):
             if pending is not None and not await emit(pending):
                 return -1
@@ -874,7 +995,7 @@ class TTSEngine:
         token: CancellationToken,
     ) -> None:
         s3p = self.params["s3gen"]
-        s3c = self.cfg.s3gen
+        s3c = self.gen_cfg
         spt = s3c.samples_per_token
         fade_len = int(self.sr * crossfade_ms / 1000.0)
         stitcher = CrossfadeStitcher(fade_len)

@@ -13,10 +13,12 @@ not numerically):
   heads, learned position embeddings). Key names follow the HF LlamaModel
   convention used by the reference checkpoint.
 * VoiceEncoder: LSTM weights map 1:1 (3×LSTM(256) + proj).
-* S3Gen: the encoder/estimator are a TPU-first redesign (DiT instead of the
-  reference's UNet), so those submodules convert only where shapes match;
-  unmatched tensors are reported and left random — retraining/distillation is
-  the supported path for exact voice parity in this round.
+* S3Gen: with ``s3gen_arch='ref'`` (the default for the full model) the
+  checkpoint-compatible stack in ``models/s3gen_ref`` converts the full
+  ``s3gen.safetensors`` key schema (tokenizer / CAMPPlus / conformer-CFM
+  flow / HiFT) via ``models/s3gen_ref/convert.py`` with strict
+  missing/unused/mismatch reporting. With ``s3gen_arch='dit'`` the TPU-first
+  DiT redesign serves instead and the checkpoint's S3Gen tensors are skipped.
 
 ``load_reference_checkpoint`` returns None when required files are missing so
 the engine falls back to random init.
@@ -50,9 +52,16 @@ def _assign(dst: Dict, path: list, value: np.ndarray, dtype, report: list) -> No
     node[path[-1]] = jnp.asarray(value, dtype=dtype)
 
 
-def convert_t3(raw: Dict[str, np.ndarray], params: Dict, dtype) -> Dict:
-    """Map HF-Llama-style T3 tensors into the stacked-layer pytree."""
+def convert_t3(
+    raw: Dict[str, np.ndarray], params: Dict, dtype, used: Optional[set] = None
+) -> Dict:
+    """Map HF-Llama-style T3 tensors into the stacked-layer pytree.
+
+    ``used`` (optional set) collects every checkpoint key consumed, so tests
+    can assert nothing silently drifts out of the mapping."""
     report: list = []
+    if used is None:
+        used = set()
     L = params["backbone"]["layers"]["wq"].shape[0]
 
     def stack(fmt: str, transpose: bool = True) -> Optional[np.ndarray]:
@@ -62,6 +71,7 @@ def convert_t3(raw: Dict[str, np.ndarray], params: Dict, dtype) -> Dict:
             if key not in raw:
                 return None
             m = raw[key]
+            used.add(key)
             mats.append(m.T if transpose and m.ndim == 2 else m)
         return np.stack(mats)
 
@@ -104,6 +114,7 @@ def convert_t3(raw: Dict[str, np.ndarray], params: Dict, dtype) -> Dict:
     for key, path in flat_map.items():
         for candidate in (key, "t3." + key):
             if candidate in raw:
+                used.add(candidate)
                 v = raw[candidate]
                 if v.ndim == 2 and path[-1] in ("w",):
                     v = v.T
@@ -114,25 +125,34 @@ def convert_t3(raw: Dict[str, np.ndarray], params: Dict, dtype) -> Dict:
     return params
 
 
-def convert_voice_encoder(raw: Dict[str, np.ndarray], params: Dict, dtype) -> Dict:
+def convert_voice_encoder(
+    raw: Dict[str, np.ndarray], params: Dict, dtype, used: Optional[set] = None
+) -> Dict:
     report: list = []
+    if used is None:
+        used = set()
     for i, layer in enumerate(params["lstm"]):
         for src, dst in (
             (f"lstm.weight_ih_l{i}", "wx"),
             (f"lstm.weight_hh_l{i}", "wh"),
         ):
             if src in raw:
+                used.add(src)
                 _assign({"x": layer}, ["x", dst], raw[src].T, dtype, report)
         bias = None
         if f"lstm.bias_ih_l{i}" in raw:
+            used.add(f"lstm.bias_ih_l{i}")
             bias = raw[f"lstm.bias_ih_l{i}"]
             if f"lstm.bias_hh_l{i}" in raw:
+                used.add(f"lstm.bias_hh_l{i}")
                 bias = bias + raw[f"lstm.bias_hh_l{i}"]
         if bias is not None:
             _assign({"x": layer}, ["x", "b"], bias, dtype, report)
     if "proj.weight" in raw:
+        used.add("proj.weight")
         _assign(params, ["proj", "w"], raw["proj.weight"].T, dtype, report)
     if "proj.bias" in raw:
+        used.add("proj.bias")
         _assign(params, ["proj", "b"], raw["proj.bias"], dtype, report)
     if report:
         log.warning("VoiceEncoder conversion issues: %s", report)
@@ -145,18 +165,23 @@ def load_reference_checkpoint(model_dir: Path, engine_cfg, dtype) -> Optional[Di
     import jax
 
     from ..models.s3gen import init_s3gen_params
+    from ..models.s3gen_ref import init_s3gen_ref_params
     from ..models.s3tok import init_s3tok_params
     from ..models.t3 import init_t3_params
     from ..models.voice_encoder import init_voice_encoder_params
 
+    arch = getattr(engine_cfg, "s3gen_arch", "dit")
     key = jax.random.PRNGKey(0)
     k1, k2, k3, k4 = jax.random.split(key, 4)
     params = {
         "t3": init_t3_params(k1, engine_cfg.t3, dtype),
-        "s3gen": init_s3gen_params(k2, engine_cfg.s3gen, dtype),
-        "s3tok": init_s3tok_params(k3, engine_cfg.s3tok, dtype),
         "ve": init_voice_encoder_params(k4, engine_cfg.ve, dtype),
     }
+    if arch == "ref":
+        params["s3gen"] = init_s3gen_ref_params(k2, engine_cfg.s3gen_ref, dtype)
+    else:
+        params["s3gen"] = init_s3gen_params(k2, engine_cfg.s3gen, dtype)
+        params["s3tok"] = init_s3tok_params(k3, engine_cfg.s3tok, dtype)
     found = False
     t3_file = model_dir / "t3_cfg.safetensors"
     if t3_file.exists():
@@ -170,10 +195,29 @@ def load_reference_checkpoint(model_dir: Path, engine_cfg, dtype) -> Optional[Di
         log.info("Loaded VoiceEncoder weights from %s", ve_file)
     s3_file = model_dir / "s3gen.safetensors"
     if s3_file.exists():
-        log.warning(
-            "s3gen.safetensors found, but the S3Gen decoder here is a TPU-first "
-            "redesign (DiT estimator); vocoder/encoder tensors convert only "
-            "where shapes align — see runtime/loader.py docstring."
-        )
+        if arch == "ref":
+            from ..models.s3gen_ref.convert import convert_s3gen_ref
+
+            result = convert_s3gen_ref(
+                _load_safetensors(s3_file), params["s3gen"], engine_cfg.s3gen_ref
+            )
+            params["s3gen"] = result["params"]  # converter preserves leaf dtypes
+            n_bad = len(result["mismatched"]) + len(result["missing"]) + len(result["unused"])
+            if n_bad:
+                log.warning(
+                    "S3Gen conversion incomplete: %d mismatched, %d missing, "
+                    "%d unused. First issues: %s",
+                    len(result["mismatched"]), len(result["missing"]),
+                    len(result["unused"]),
+                    (result["mismatched"] + result["missing"] + result["unused"])[:10],
+                )
+            else:
+                log.info("Loaded S3Gen weights from %s (clean conversion)", s3_file)
+        else:
+            log.warning(
+                "s3gen.safetensors found, but s3gen_arch='dit' serves the "
+                "TPU-first DiT redesign which has its own weights; set "
+                "CHATTERBOX_S3GEN_ARCH=ref to serve the pretrained stack."
+            )
         found = True
     return params if found else None

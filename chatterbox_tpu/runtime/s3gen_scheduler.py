@@ -39,10 +39,19 @@ class _Job:
 
 
 class S3GenScheduler:
-    def __init__(self, params: Dict, cfg: S3GenConfig, max_batch: int = 4):
+    def __init__(self, params: Dict, cfg, max_batch: int = 4, infer=None):
+        """``infer``: per-item inference fn with the s3gen_inference signature
+        (params, tokens, token_len, ref, src, cache_len, key) — lets the
+        engine run either token→waveform architecture through the same
+        micro-batcher. Defaults to the DiT path."""
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
+        self._infer = infer or (
+            lambda params, tk, tl, rf, sr, cl, ky: s3gen_inference(
+                params, cfg, tk, tl, rf, sr, cl, ky
+            )
+        )
         self._queues: Dict[int, List[_Job]] = {}
         self._wake = asyncio.Event()
         self._task: Optional[asyncio.Task] = None
@@ -52,7 +61,7 @@ class S3GenScheduler:
     def _infer_fn(self, T: int, B: int):
         jit_key = (T, B)
         if jit_key not in self._jit:
-            cfg = self.cfg
+            item_infer = self._infer
 
             @jax.jit
             def infer(params, tokens, token_len, ref, src, cache_len, keys):
@@ -60,7 +69,7 @@ class S3GenScheduler:
                 # request's CFM/source noise is identical whether it runs solo
                 # or co-batched (reproducibility + seam determinism).
                 def one(tk, tl, rf, sr, cl, ky):
-                    return s3gen_inference(params, cfg, tk, tl, rf, sr, cl, ky)
+                    return item_infer(params, tk, tl, rf, sr, cl, ky)
 
                 return jax.vmap(one)(tokens, token_len, ref, src, cache_len, keys)
 

@@ -112,6 +112,15 @@ def register_api_routes(app: web.Application) -> None:
                 {"detail": f"Voice '{tts_request.voice_id}' not found."}, status=404
             )
 
+        # fail BEFORE headers go out: once response.prepare() runs, any error
+        # turns into an HTTP 200 with an aborted body (ADVICE r1)
+        status = engine.get_initialization_status()
+        if status.get("state") != "ready":
+            return web.json_response(
+                {"detail": f"TTS engine is not ready (state: {status.get('state')})."},
+                status=503,
+            )
+
         request_id = getattr(request, "request_id", None) or str(uuid.uuid4())
         token = CancellationToken()
         media_type = AudioEncoder(fmt, engine.sr).get_mime_type()

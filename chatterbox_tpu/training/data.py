@@ -53,7 +53,19 @@ class T3FeatureExtractor:
         spk = np.asarray(voice_embed(self.params["ve"], self.cfg.ve, w16)[0])
         P = t3c.speech_cond_prompt_len
         prompt = np.zeros((P,), np.int32)
-        prompt[: min(P, len(speech))] = speech[:P]
+        # The conditioning prompt must be DISJOINT from the prediction target,
+        # or the model learns to copy the prompt instead of generalizing voice
+        # conditioning (ADVICE r1): take the prompt from the utterance tail
+        # and drop those tokens from the target.
+        if len(speech) > 2 * P:
+            prompt[:P] = speech[-P:]
+            speech = speech[:-P]
+        else:
+            half = max(1, len(speech) // 2)
+            n = min(P, len(speech) - half)
+            if n > 0:
+                prompt[:n] = speech[half : half + n]
+            speech = speech[:half]
         ids = self.tokenizer.text_to_tokens(transcript)[0]
         text = np.concatenate(
             [[t3c.start_text_token], ids[: t3c.max_text_tokens - 2], [t3c.stop_text_token]]

@@ -1,6 +1,9 @@
-"""HTTP API tests: full endpoint surface against a tiny-model engine."""
+"""HTTP API tests: one test per endpoint/behavior against a shared
+tiny-model server (VERDICT r1 housekeeping: the old monolithic
+test_api_surface hid later assertions behind the first failure)."""
 import asyncio
 import os
+from types import SimpleNamespace
 
 import numpy as np
 import pytest
@@ -10,118 +13,164 @@ from chatterbox_tpu.audio.pcm import write_wav
 from chatterbox_tpu.config import reset_config_cache
 
 KEY = "test-key-123"
+H = {"X-API-Key": KEY}
 
 
-@pytest.fixture()
-def server_env(tmp_path, monkeypatch):
-    monkeypatch.setenv("API_KEY", KEY)
-    monkeypatch.setenv("VOICES_DIR", str(tmp_path / "voices"))
-    monkeypatch.setenv("PRELOADED_VOICES_DIR", str(tmp_path / "preloaded"))
-    monkeypatch.setenv("MODEL_PATH", str(tmp_path / "models"))
+@pytest.fixture(scope="module")
+def api(tmp_path_factory):
+    """One running server for the module; each test hits its own endpoint."""
+    tmp = tmp_path_factory.mktemp("api")
+    saved = {k: os.environ.get(k) for k in
+             ("API_KEY", "VOICES_DIR", "PRELOADED_VOICES_DIR", "MODEL_PATH")}
+    os.environ.update(
+        API_KEY=KEY,
+        VOICES_DIR=str(tmp / "voices"),
+        PRELOADED_VOICES_DIR=str(tmp / "preloaded"),
+        MODEL_PATH=str(tmp / "models"),
+    )
     reset_config_cache()
-    yield tmp_path
-    reset_config_cache()
 
-
-def test_api_surface(server_env, tmp_path):
     from chatterbox_tpu.runtime import EngineConfig, TTSEngine
     from chatterbox_tpu.serve.app import create_app
 
-    async def run():
+    loop = asyncio.new_event_loop()
+
+    async def start():
         engine = TTSEngine(EngineConfig.tiny())
         app = create_app(engine, warm_voices=False)
         client = TestClient(TestServer(app))
         await client.start_server()
-        try:
-            h = {"X-API-Key": KEY}
+        return client
 
-            # health: no auth required
-            r = await client.get("/health")
-            assert r.status == 200
-            assert (await r.json())["status"] == "ok"
+    client = loop.run_until_complete(start())
 
-            # auth enforcement
-            r = await client.get("/voices")
-            assert r.status == 401
-            r = await client.get("/voices", headers={"X-API-Key": "wrong"})
-            assert r.status == 401
-            # query-param auth also accepted
-            r = await client.get(f"/voices?api_key={KEY}")
-            assert r.status == 200
+    # a known reference wav for voice endpoints
+    sr = 24000
+    t = np.arange(sr // 2) / sr
+    wav_path = tmp / "probe.wav"
+    write_wav(str(wav_path), (0.2 * np.sin(2 * np.pi * 200 * t)).astype(np.float32), sr)
 
-            # voices CRUD
-            r = await client.get("/voices", headers=h)
-            assert await r.json() == []
-            sr = 24000
-            wav_path = tmp_path / "probe.wav"
-            t = np.arange(sr // 2) / sr
-            write_wav(str(wav_path), (0.2 * np.sin(2 * np.pi * 200 * t)).astype(np.float32), sr)
-            with open(wav_path, "rb") as fh:
-                r = await client.post(
-                    "/voices", data={"file": fh}, headers=h
-                )
-            assert r.status == 201, await r.text()
-            assert (await r.json())["voice_id"] == "probe.wav"
-            with open(wav_path, "rb") as fh:
-                r = await client.post("/voices", data={"file": fh}, headers=h)
-            assert r.status == 409
+    yield SimpleNamespace(
+        client=client,
+        run=lambda coro: loop.run_until_complete(coro),
+        wav_path=wav_path,
+    )
 
-            r = await client.get("/voices", headers=h)
-            assert await r.json() == ["probe.wav"]
+    loop.run_until_complete(client.close())
+    loop.close()
+    for k, v in saved.items():
+        if v is None:
+            os.environ.pop(k, None)
+        else:
+            os.environ[k] = v
+    reset_config_cache()
 
-            # tts: validation
-            r = await client.get("/tts/generate", headers=h)
-            assert r.status == 400  # missing text
-            r = await client.get("/tts/generate?text=hi&format=ogg", headers=h)
-            assert r.status == 400  # bad format
-            r = await client.get("/tts/generate?text=hi&voice_id=ghost.wav", headers=h)
-            assert r.status == 404  # unknown voice
-            r = await client.get("/tts/generate?text=hi")
-            assert r.status == 401  # no auth
 
-            # tts: streaming wav (GET) with explicit params
-            r = await client.get(
-                "/tts/generate?text=Hello+world&format=wav&audio_tokens_per_slice=8",
-                headers=h,
-            )
-            assert r.status == 200
-            assert r.headers["Content-Type"].startswith("audio/wav")
-            assert "X-Request-ID" in r.headers
-            body = await r.read()
-            assert body[:4] == b"RIFF" and len(body) > 44
+def _upload(api, name: str):
+    async def go():
+        data = {"file": open(api.wav_path, "rb")}
+        data["file"].name  # keep handle alive
+        import aiohttp
 
-            # tts: POST JSON with cloned voice
-            r = await client.post(
-                "/tts/generate",
-                json={
-                    "text": "Voice clone test.",
-                    "voice_id": "probe.wav",
-                    "format": "raw_pcm",
-                    "audio_tokens_per_slice": 8,
-                },
-                headers=h,
-            )
-            assert r.status == 200
-            body = await r.read()
-            assert len(body) > 0
+        form = aiohttp.FormData()
+        form.add_field("file", open(api.wav_path, "rb"), filename=name)
+        return await api.client.post("/voices", data=form, headers=H)
 
-            # system-status
-            r = await client.get("/system-status", headers=h)
-            assert r.status == 200
-            status = await r.json()
-            assert "cpu" in status and "tpus" in status
-            assert status["engine"]["state"] == "ready"
+    return api.run(go())
 
-            # delete voice; preloaded/missing → 404
-            r = await client.delete("/voices/probe.wav", headers=h)
-            assert r.status == 200
-            r = await client.delete("/voices/probe.wav", headers=h)
-            assert r.status == 404
 
-            # root serves the console (or a plain placeholder)
-            r = await client.get("/")
-            assert r.status == 200
-        finally:
-            await client.close()
+def test_health_requires_no_auth(api):
+    r = api.run(api.client.get("/health"))
+    assert r.status == 200
+    assert api.run(r.json())["status"] == "ok"
 
-    asyncio.run(run())
+
+def test_auth_rejects_missing_and_wrong_key(api):
+    assert api.run(api.client.get("/voices")).status == 401
+    assert api.run(api.client.get("/voices", headers={"X-API-Key": "wrong"})).status == 401
+
+
+def test_auth_accepts_query_param(api):
+    assert api.run(api.client.get(f"/voices?api_key={KEY}")).status == 200
+
+
+def test_voice_upload_list_delete(api):
+    r = _upload(api, "crud.wav")
+    assert r.status == 201, api.run(r.text())
+    assert api.run(r.json())["voice_id"] == "crud.wav"
+    r = api.run(api.client.get("/voices", headers=H))
+    assert "crud.wav" in api.run(r.json())
+    assert api.run(api.client.delete("/voices/crud.wav", headers=H)).status == 200
+    assert api.run(api.client.delete("/voices/crud.wav", headers=H)).status == 404
+
+
+def test_voice_duplicate_upload_409(api):
+    assert _upload(api, "dup.wav").status == 201
+    assert _upload(api, "dup.wav").status == 409
+    api.run(api.client.delete("/voices/dup.wav", headers=H))
+
+
+def test_tts_missing_text_400(api):
+    assert api.run(api.client.get("/tts/generate", headers=H)).status == 400
+
+
+def test_tts_bad_format_400(api):
+    assert api.run(api.client.get("/tts/generate?text=hi&format=ogg", headers=H)).status == 400
+
+
+def test_tts_unknown_voice_404(api):
+    assert api.run(api.client.get("/tts/generate?text=hi&voice_id=ghost.wav", headers=H)).status == 404
+
+
+def test_tts_unauthenticated_401(api):
+    assert api.run(api.client.get("/tts/generate?text=hi")).status == 401
+
+
+def test_tts_get_streams_wav(api):
+    async def go():
+        r = await api.client.get(
+            "/tts/generate?text=Hello+world&format=wav&audio_tokens_per_slice=8",
+            headers=H,
+        )
+        body = await r.read()
+        return r, body
+
+    r, body = api.run(go())
+    assert r.status == 200
+    assert r.headers["Content-Type"].startswith("audio/wav")
+    assert "X-Request-ID" in r.headers
+    assert body[:4] == b"RIFF" and len(body) > 44
+
+
+def test_tts_post_json_with_cloned_voice(api):
+    assert _upload(api, "clone.wav").status == 201
+
+    async def go():
+        r = await api.client.post(
+            "/tts/generate",
+            json={
+                "text": "Voice clone test.",
+                "voice_id": "clone.wav",
+                "format": "raw_pcm",
+                "audio_tokens_per_slice": 8,
+            },
+            headers=H,
+        )
+        return r, await r.read()
+
+    r, body = api.run(go())
+    assert r.status == 200
+    assert len(body) > 0
+    api.run(api.client.delete("/voices/clone.wav", headers=H))
+
+
+def test_system_status(api):
+    r = api.run(api.client.get("/system-status", headers=H))
+    assert r.status == 200
+    status = api.run(r.json())
+    assert "cpu" in status and "tpus" in status
+    assert status["engine"]["state"] == "ready"
+
+
+def test_root_serves_console(api):
+    assert api.run(api.client.get("/")).status == 200
