@@ -1,0 +1,171 @@
+"""S3Gen (reference architecture) facade: init, embed_ref, chunk inference.
+
+Checkpoint-compatible counterpart of ``models/s3gen`` (the TPU-first DiT
+redesign) exposing the same pure-function surface the engine consumes
+(SURVEY.md §2b; /root/reference/src/tts_streaming.py:365-366, 583-590,
+681-688):
+
+* ``s3gen_ref_embed_ref(wav24, wav16) → ref dict`` — prompt tokens (via the
+  checkpoint tokenizer), prompt mel (HiFiGAN extractor), CAMPPlus x-vector;
+  fixed-size RIGHT-padded windows (reference alignment rule: mel frames are
+  clipped to exactly 2× the prompt token count).
+* ``s3gen_ref_inference(tokens, ref, cache_source) → (wav, new_cache)`` —
+  one XLA graph per chunk: left-packed [pad|prompt|generated] track through
+  the upsample-conformer encoder, CFM Euler solve with CFG, HiFT vocoder
+  with the excitation-prefix continuity contract.
+"""
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.nn import linear
+from .campplus import campplus_embed, init_campplus_params
+from .config import S3GenRefConfig
+from .decoder import cfm_generate, init_estimator_params
+from .features import hifigan_log_mel, kaldi_fbank
+from .hift import hift_decode, init_hift_params, make_source, predict_f0
+from .tokenizer import init_s3tok_ref_params, s3tok_ref_tokenize
+from .upsample_encoder import init_upsample_encoder_params, upsample_encode
+
+MEL_HOP_24K = 480  # HiFiGAN mel hop at 24 kHz (50 fps)
+
+
+def init_s3gen_ref_params(key: jax.Array, cfg: S3GenRefConfig, dtype=jnp.float32) -> Dict:
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    from ...ops.initializers import dense_init, rng_stream
+
+    rngs = rng_stream(k3)
+
+    def mk(*shape):
+        return dense_init(next(rngs), shape, dtype)
+
+    fl = cfg.flow
+    return {
+        "tokenizer": init_s3tok_ref_params(k1, cfg.tokenizer, dtype),
+        "speaker": init_campplus_params(k2, cfg.speaker, dtype),
+        "flow": {
+            "input_emb": mk(fl.vocab_size, fl.input_size),
+            "spk_affine": {"w": mk(fl.spk_embed_dim, fl.output_size), "b": mk(fl.output_size)},
+            "encoder_proj": {"w": mk(fl.input_size, fl.output_size), "b": mk(fl.output_size)},
+            "encoder": init_upsample_encoder_params(k4, fl, dtype),
+            "estimator": init_estimator_params(k5, fl, dtype),
+        },
+        "mel2wav": init_hift_params(k6, cfg.hift, dtype),
+    }
+
+
+def s3gen_ref_embed_ref(
+    params: Dict,
+    cfg: S3GenRefConfig,
+    wav24: jnp.ndarray,      # [B, L24] 24 kHz reference audio (≤10 s budget)
+    wav24_len: jnp.ndarray,  # [B]
+    wav16: jnp.ndarray,      # [B, L16] the same audio at 16 kHz
+    wav16_len: jnp.ndarray,  # [B]
+) -> Dict:
+    """Voice conditioning dict (cached per voice_id by the engine)."""
+    mel = hifigan_log_mel(wav24)                            # [B, F, 80]
+    Pm, P = cfg.max_prompt_mel, cfg.max_prompt_tokens
+    if mel.shape[1] < Pm:
+        mel = jnp.pad(mel, ((0, 0), (0, Pm - mel.shape[1]), (0, 0)))
+    mel = mel[:, :Pm]
+    mel_len = jnp.minimum(wav24_len // MEL_HOP_24K, Pm)
+
+    tokens, tok_len = s3tok_ref_tokenize(params["tokenizer"], cfg.tokenizer, wav16, wav16_len)
+    if tokens.shape[1] < P:
+        tokens = jnp.pad(tokens, ((0, 0), (0, P - tokens.shape[1])))
+    tokens = tokens[:, :P]
+    # reference alignment rule: prompt mel frames == 2 × prompt tokens
+    tok_len = jnp.minimum(jnp.minimum(tok_len, mel_len // cfg.flow.up_stride), P)
+    mel_len = tok_len * cfg.flow.up_stride
+
+    fb, fb_len = kaldi_fbank(wav16, wav16_len)
+    fb_valid = jnp.arange(fb.shape[1])[None, :] < fb_len[:, None]
+    spk = campplus_embed(params["speaker"], cfg.speaker, fb, fb_valid)
+
+    mel_valid = jnp.arange(Pm)[None, :] < mel_len[:, None]
+    return {
+        "spk_emb": spk,                                             # [B, 192]
+        "prompt_tokens": tokens.astype(jnp.int32),                  # [B, P]
+        "prompt_len": tok_len.astype(jnp.int32),                    # [B]
+        "prompt_mel": jnp.where(mel_valid[:, :, None], mel, 0.0),   # [B, Pm, 80]
+        "prompt_mel_len": mel_len.astype(jnp.int32),                # [B]
+    }
+
+
+def _left_pack(
+    buf: jnp.ndarray, valid_len: jnp.ndarray, fill: float | int = 0
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Right-align the valid prefix of a right-padded buffer: [v|pad] → [pad|v].
+
+    buf: [B, P] or [B, P, C]; returns (packed buffer, [B, P] valid mask)."""
+    B, P = buf.shape[:2]
+    off = (P - valid_len)[:, None]
+    j = jnp.arange(P)[None, :]
+    src = jnp.clip(j - off, 0, P - 1)
+    idx = src if buf.ndim == 2 else src[:, :, None]
+    packed = jnp.take_along_axis(buf, jnp.broadcast_to(idx, buf.shape if buf.ndim == 2 else (B, P, buf.shape[2])), axis=1)
+    mask = j >= off
+    if buf.ndim == 3:
+        packed = jnp.where(mask[:, :, None], packed, fill)
+    else:
+        packed = jnp.where(mask, packed, fill)
+    return packed, mask
+
+
+def s3gen_ref_inference(
+    params: Dict,
+    cfg: S3GenRefConfig,
+    tokens: jnp.ndarray,        # [B, T] generated speech tokens, right-padded
+    token_len: jnp.ndarray,     # [B]
+    ref: Dict,                  # from s3gen_ref_embed_ref
+    source_cache: jnp.ndarray,  # [B, T*samples_per_token] excitation prefix
+    cache_len: jnp.ndarray,     # [B] valid samples in source_cache
+    key: jax.Array,             # request-stable key (determinism = seam continuity)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One streaming chunk → (wav [B, T·spt], new_source_cache [B, T·spt])."""
+    B, T = tokens.shape
+    fl = cfg.flow
+    P = cfg.max_prompt_tokens
+    fpt = fl.up_stride
+    spt = cfg.samples_per_token
+    Pm = P * fpt
+
+    # [pad | prompt | generated] token track (contiguous valid region)
+    packed_prompt, prompt_mask = _left_pack(ref["prompt_tokens"], ref["prompt_len"])
+    full = jnp.concatenate([packed_prompt, tokens], axis=1)          # [B, P+T]
+    gen_valid = jnp.arange(T)[None, :] < token_len[:, None]
+    valid = jnp.concatenate([prompt_mask, gen_valid], axis=1)
+
+    emb_table = params["flow"]["input_emb"]
+    emb = emb_table[jnp.clip(full, 0, fl.vocab_size - 1)]
+    emb = jnp.where(valid[:, :, None], emb, 0.0)
+    h, valid_f = upsample_encode(params["flow"]["encoder"], fl, emb, valid)
+    mu = linear(h, params["flow"]["encoder_proj"]["w"], params["flow"]["encoder_proj"]["b"])
+
+    spk_n = ref["spk_emb"] * jax.lax.rsqrt(
+        jnp.sum(jnp.square(ref["spk_emb"].astype(jnp.float32)), -1, keepdims=True) + 1e-12
+    ).astype(ref["spk_emb"].dtype)
+    spk = linear(spk_n, params["flow"]["spk_affine"]["w"], params["flow"]["spk_affine"]["b"])
+
+    # prompt-mel conditioning track, right-aligned against the generated frames
+    pm = ref["prompt_mel"][:, :Pm]
+    pm_len = jnp.minimum(ref["prompt_mel_len"], Pm)
+    packed_mel, _ = _left_pack(pm.astype(mu.dtype), pm_len)
+    cond = jnp.concatenate([packed_mel, jnp.zeros((B, T * fpt, pm.shape[2]), mu.dtype)], axis=1)
+
+    mel_full = cfm_generate(params["flow"]["estimator"], fl, key, mu, spk, cond, valid_f)
+    mel_gen = mel_full[:, Pm:]                                       # [B, T·fpt, 80]
+    gen_frame_valid = valid_f[:, Pm:]
+    mel_gen = jnp.where(gen_frame_valid[:, :, None], mel_gen, 0.0)
+
+    # HiFT with excitation continuity (reference cache_source contract)
+    f0 = predict_f0(params["mel2wav"], cfg.hift, mel_gen)            # [B, T·fpt]
+    source = make_source(params["mel2wav"], cfg.hift, f0, jax.random.fold_in(key, 1))
+    L = T * spt
+    idx = jnp.arange(L)[None, :]
+    source = jnp.where(idx < cache_len[:, None], source_cache[:, :L].astype(source.dtype), source)
+    wav = hift_decode(params["mel2wav"], cfg.hift, mel_gen, source)
+    return wav, source

@@ -48,6 +48,15 @@ class shape_only_init:
         _SHAPE_ONLY = self._prev
 
 
+def buffer_init(value: np.ndarray, dtype) -> jnp.ndarray:
+    """Deterministic (non-random) parameter buffer — e.g. a window function or
+    sinusoid table that the checkpoint stores. Shape-only aware like
+    dense_init so structural templates stay allocation-free."""
+    if _SHAPE_ONLY:
+        return jax.ShapeDtypeStruct(tuple(value.shape), jnp.dtype(dtype))
+    return jnp.asarray(value, dtype=dtype)
+
+
 def dense_init(rng: np.random.Generator, shape, dtype, scale: Optional[float] = None) -> jnp.ndarray:
     if _SHAPE_ONLY:
         return jax.ShapeDtypeStruct(tuple(shape), jnp.dtype(dtype))
