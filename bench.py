@@ -58,6 +58,11 @@ def main() -> None:
     import jax.numpy as jnp
 
     from chatterbox_tpu.models.s3gen import S3GenConfig, init_s3gen_params, s3gen_inference
+    from chatterbox_tpu.models.s3gen_ref import (
+        S3GenRefConfig,
+        init_s3gen_ref_params,
+        s3gen_ref_inference,
+    )
     from chatterbox_tpu.models.t3 import (
         T3Config,
         init_t3_params,
@@ -66,26 +71,40 @@ def main() -> None:
         t3_prefill,
     )
 
-    dtype = jnp.bfloat16
-    slice_tokens = 35
-    t3c = T3Config().with_(kv_cache_dtype=os.environ.get("BENCH_KV", "native"))
+    # BENCH_TINY=1: tiny configs for an off-TPU smoke test of the bench's own
+    # code paths (numbers are meaningless; the driver never sets it)
+    tiny = os.environ.get("BENCH_TINY", "0") == "1"
+    dtype = jnp.float32 if tiny else jnp.bfloat16
+    slice_tokens = 8 if tiny else 35
+    t3c = (T3Config.tiny() if tiny else T3Config()).with_(
+        kv_cache_dtype=os.environ.get("BENCH_KV", "native"))
     # BENCH_KV_HEADS=N measures a grouped-query variant (smaller KV cache →
     # more decode bandwidth headroom). Serving the pretrained checkpoint needs
     # its 16 KV heads; this knob quantifies what GQA distillation would buy.
     kv_heads = int(os.environ.get("BENCH_KV_HEADS", "0") or 0)
     if kv_heads:
         t3c = t3c.with_(num_kv_heads=kv_heads)
-    s3c = S3GenConfig()
+    # S3Gen architecture: measure what production serves (EngineConfig.full
+    # defaults to the checkpoint-compatible "ref" stack; "dit" is the
+    # TPU-first redesign that needs its own weights).
+    arch = os.environ.get("CHATTERBOX_S3GEN_ARCH", "ref")
+    if arch == "ref":
+        s3c = S3GenRefConfig.tiny() if tiny else S3GenRefConfig()
+        s3gen_infer = s3gen_ref_inference
+        s3_params = jax.device_put(init_s3gen_ref_params(jax.random.PRNGKey(1), s3c, dtype))
+    else:
+        s3c = S3GenConfig.tiny() if tiny else S3GenConfig()
+        s3gen_infer = s3gen_inference
+        s3_params = jax.device_put(init_s3gen_params(jax.random.PRNGKey(1), s3c, dtype))
 
     t3_params = jax.device_put(init_t3_params(jax.random.PRNGKey(0), t3c, dtype))
-    s3_params = jax.device_put(init_s3gen_params(jax.random.PRNGKey(1), s3c, dtype))
 
     # ---------------- T3: prefill + sliced decode (2 CFG lanes) -------------
     C, D = t3c.cond_len, t3c.hidden_size
     cond = jnp.zeros((2, C, D), dtype)
-    T_text = 64
+    T_text = min(64, t3c.max_text_tokens)
     text = jnp.zeros((2, T_text), jnp.int32)
-    tlen = jnp.full((2,), 60, jnp.int32)
+    tlen = jnp.full((2,), T_text - 4, jnp.int32)
 
     prefill = jax.jit(lambda p, c, t, l: t3_prefill(p, t3c, c, t, l))
     cache = prefill(t3_params, cond, text, tlen)
@@ -154,14 +173,14 @@ def main() -> None:
     ref = {
         "spk_emb": jnp.zeros((1, s3c.spk_dim), jnp.float32),
         "prompt_tokens": jnp.zeros((1, s3c.max_prompt_tokens), jnp.int32),
-        "prompt_len": jnp.array([100], jnp.int32),
+        "prompt_len": jnp.array([min(100, s3c.max_prompt_tokens)], jnp.int32),
         "prompt_mel": jnp.zeros((1, s3c.max_prompt_mel, s3c.n_mels), jnp.float32),
-        "prompt_mel_len": jnp.array([200], jnp.int32),
+        "prompt_mel_len": jnp.array([min(200, s3c.max_prompt_mel)], jnp.int32),
     }
     tokens = jnp.zeros((1, T_chunk), jnp.int32)
     src = jnp.zeros((1, T_chunk * spt), jnp.float32)
     infer = jax.jit(
-        lambda p, t, l, r, s, cl, k: s3gen_inference(p, s3c, t, l, r, s, cl, k)
+        lambda p, t, l, r, s, cl, k: s3gen_infer(p, s3c, t, l, r, s, cl, k)
     )
     args = (s3_params, tokens, jnp.array([T_chunk], jnp.int32), ref, src,
             jnp.array([0], jnp.int32), jax.random.PRNGKey(3))
@@ -174,6 +193,26 @@ def main() -> None:
     s3_chunk_s = (time.perf_counter() - t0) / 3
     chunk_audio_s = slice_tokens / s3c.token_rate  # new audio per slice (1.4 s)
 
+    # Batched synthesis (what S3GenScheduler coalesces under load): per-stream
+    # chunk cost drops when B chunks share one weight pass.
+    s3_batch = int(os.environ.get("BENCH_S3_BATCH", "4"))
+    s3_chunk_batched_s = None
+    if s3_batch > 1:
+        refB = {k: jnp.repeat(v, s3_batch, axis=0) for k, v in ref.items()}
+        argsB = (
+            s3_params, jnp.repeat(tokens, s3_batch, 0),
+            jnp.full((s3_batch,), T_chunk, jnp.int32), refB,
+            jnp.repeat(src, s3_batch, 0), jnp.zeros((s3_batch,), jnp.int32),
+            jax.random.PRNGKey(3),
+        )
+        wav, _ = infer(*argsB)
+        jax.block_until_ready(wav)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            wav, _ = infer(*argsB)
+        jax.block_until_ready(wav)
+        s3_chunk_batched_s = (time.perf_counter() - t0) / 3
+
     # ---------------- headline metric --------------------------------------
     # Single-stream figures
     rtf_single = (s3c.token_rate / t3_tok_rate) + (s3_chunk_s / chunk_audio_s)
@@ -183,8 +222,12 @@ def main() -> None:
     # decode slice (covers ALL slots) + one s3gen chunk PER stream. Real-time
     # for N streams needs t3_batched_slice + N*s3_chunk <= slice audio length.
     budget = chunk_audio_s
+    # per-stream synthesis cost under the S3GenScheduler's micro-batching
+    s3_per_stream_s = s3_chunk_s
+    if s3_chunk_batched_s is not None:
+        s3_per_stream_s = min(s3_chunk_s, s3_chunk_batched_s / s3_batch)
     streams_batched = int(min(
-        n_slots, max(0.0, (budget - t3_batched_slice_s) / s3_chunk_s)
+        n_slots, max(0.0, (budget - t3_batched_slice_s) / s3_per_stream_s)
     ))
     streams_single = int(np.floor(1.0 / rtf_single)) if rtf_single < 1 else 0
     streams = max(streams_batched, streams_single)
@@ -192,7 +235,10 @@ def main() -> None:
     sys.stderr.write(
         f"t3: prefill {prefill_s*1e3:.1f} ms, {t3_tok_rate:.1f} tok/s single "
         f"(slice {t3_slice_s*1e3:.1f} ms), batched[{n_slots} slots] slice "
-        f"{t3_batched_slice_s*1e3:.1f} ms; s3gen chunk {s3_chunk_s*1e3:.1f} ms; "
+        f"{t3_batched_slice_s*1e3:.1f} ms; s3gen[{arch}] chunk {s3_chunk_s*1e3:.1f} ms"
+        + (f" (batched x{s3_batch}: {s3_chunk_batched_s*1e3:.1f} ms, "
+           f"{s3_chunk_batched_s/s3_batch*1e3:.1f} ms/stream)" if s3_chunk_batched_s else "")
+        + "; "
         f"rtf_single {rtf_single:.3f}; ttfa {ttfa_s*1e3:.0f} ms; "
         f"streams single={streams_single} batched={streams_batched}; "
         f"device {jax.devices()[0]}\n"

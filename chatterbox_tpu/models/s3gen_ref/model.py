@@ -134,7 +134,9 @@ def s3gen_ref_inference(
     Pm = P * fpt
 
     # [pad | prompt | generated] token track (contiguous valid region)
-    packed_prompt, prompt_mask = _left_pack(ref["prompt_tokens"], ref["prompt_len"])
+    packed_prompt, prompt_mask = _left_pack(
+        ref["prompt_tokens"], jnp.minimum(ref["prompt_len"], P)
+    )
     full = jnp.concatenate([packed_prompt, tokens], axis=1)          # [B, P+T]
     gen_valid = jnp.arange(T)[None, :] < token_len[:, None]
     valid = jnp.concatenate([prompt_mask, gen_valid], axis=1)

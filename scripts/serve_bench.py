@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Measured serving benchmark: real server, N concurrent streams, real TTFA.
+
+VERDICT r1 item 4: the headline numbers must be measured under load, not
+derived. This starts the actual aiohttp app (full model by default) in-process,
+fires warm-up waves until the compile caches are hot, then N concurrent
+/tts/generate requests, and reports per-request TTFA (first body chunk, the
+reference's probe — /root/reference/src/tts_streaming.py:953-955) and
+streaming RTF (wall / audio seconds) from the client's side of the socket.
+
+Usage (TPU):
+    python scripts/serve_bench.py [--streams 16] [--warmup-waves 2] [--tiny]
+Prints one JSON line:
+    {"streams": N, "realtime_streams": M, "ttfa_p50_ms": ..., "ttfa_p99_ms":
+     ..., "rtf_p50": ..., "rtf_max": ..., "audio_s_total": ..., "wall_s": ...}
+"""
+import argparse
+import asyncio
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TEXT = (
+    "The quick brown fox jumps over the lazy dog while the orchestra plays "
+    "a long and winding melody that never quite resolves, keeping every "
+    "listener waiting for the final chord."
+)
+
+
+async def _one_request(session, url: str, idx: int) -> dict:
+    t0 = time.perf_counter()
+    ttfa = None
+    n_bytes = 0
+    async with session.get(url, params={
+        "text": TEXT,
+        "format": "wav",
+        "request_id": f"serve-bench-{idx}",
+    }) as resp:
+        assert resp.status == 200, f"status {resp.status}"
+        async for chunk in resp.content.iter_chunked(65536):
+            if ttfa is None and chunk:
+                ttfa = time.perf_counter() - t0
+            n_bytes += len(chunk)
+    wall = time.perf_counter() - t0
+    audio_s = max(n_bytes - 44, 0) / 2 / 24000  # 16-bit mono 24 kHz after header
+    return {"ttfa": ttfa or wall, "wall": wall, "audio_s": audio_s}
+
+
+async def run(args) -> None:
+    import aiohttp
+    from aiohttp import web
+
+    from chatterbox_tpu.serve.app import create_app
+
+    app = create_app(warm_voices=False)
+    runner = web.AppRunner(app)
+    await runner.setup()
+    port = int(os.environ.get("PORT", "8046"))
+    site = web.TCPSite(runner, "127.0.0.1", port)
+    await site.start()
+
+    engine = app["engine"]
+    t0 = time.perf_counter()
+    while engine.get_initialization_status()["state"] != "ready":
+        await asyncio.sleep(1.0)
+        if time.perf_counter() - t0 > 3600:
+            raise TimeoutError("engine never became ready")
+    sys.stderr.write(f"engine ready in {time.perf_counter()-t0:.0f}s\n")
+
+    url = f"http://127.0.0.1:{port}/tts/generate"
+    headers = {"X-API-Key": os.environ.get("API_KEY", "bench")}
+    conn = aiohttp.TCPConnector(limit=args.streams * 2)
+    async with aiohttp.ClientSession(headers=headers, connector=conn) as session:
+        for wave in range(args.warmup_waves):
+            t0 = time.perf_counter()
+            r = await asyncio.gather(*[
+                _one_request(session, url, 10_000 * (wave + 1) + i)
+                for i in range(args.streams)
+            ])
+            sys.stderr.write(
+                f"warmup wave {wave}: {time.perf_counter()-t0:.1f}s wall, "
+                f"{sum(x['audio_s'] for x in r):.1f}s audio\n"
+            )
+        t0 = time.perf_counter()
+        results = await asyncio.gather(*[
+            _one_request(session, url, i) for i in range(args.streams)
+        ])
+        wall = time.perf_counter() - t0
+    await runner.cleanup()
+
+    ttfas = sorted(r["ttfa"] for r in results)
+    rtfs = sorted(r["wall"] / max(r["audio_s"], 1e-6) for r in results)
+    realtime = sum(1 for r in rtfs if r < 1.0)
+    out = {
+        "streams": args.streams,
+        "realtime_streams": realtime,
+        "ttfa_p50_ms": round(statistics.median(ttfas) * 1e3, 1),
+        "ttfa_p99_ms": round(ttfas[min(len(ttfas) - 1, int(0.99 * len(ttfas)))] * 1e3, 1),
+        "rtf_p50": round(statistics.median(rtfs), 4),
+        "rtf_max": round(rtfs[-1], 4),
+        "audio_s_total": round(sum(r["audio_s"] for r in results), 1),
+        "wall_s": round(wall, 1),
+    }
+    print(json.dumps(out))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--streams", type=int, default=16)
+    ap.add_argument("--warmup-waves", type=int, default=2)
+    ap.add_argument("--tiny", action="store_true", help="tiny random model (CI/CPU)")
+    args = ap.parse_args()
+    os.environ.setdefault("API_KEY", "bench")
+    if args.tiny:
+        os.environ.setdefault("CHATTERBOX_TINY_MODEL", "1")
+    # the TPU backend must be touched on the main thread BEFORE any asyncio
+    # loop exists (CLAUDE.md: blocking device waits take ~20 s otherwise)
+    from chatterbox_tpu.runtime.engine import ensure_backend_initialized
+
+    ensure_backend_initialized()
+    asyncio.run(run(args))
+
+
+if __name__ == "__main__":
+    main()
