@@ -90,6 +90,12 @@ def main() -> None:
     arch = os.environ.get("CHATTERBOX_S3GEN_ARCH", "ref")
     if arch == "ref":
         s3c = S3GenRefConfig.tiny() if tiny else S3GenRefConfig()
+        # same flow-prompt budget knob the engine honors
+        ptoks = int(os.environ.get("CHATTERBOX_FLOW_PROMPT_TOKENS", "0") or 0)
+        if 0 < ptoks < s3c.max_prompt_tokens:
+            import dataclasses
+
+            s3c = dataclasses.replace(s3c, max_prompt_tokens=ptoks, max_prompt_mel=2 * ptoks)
         s3gen_infer = s3gen_ref_inference
         s3_params = jax.device_put(init_s3gen_ref_params(jax.random.PRNGKey(1), s3c, dtype))
     else:

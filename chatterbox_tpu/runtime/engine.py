@@ -125,6 +125,20 @@ class EngineConfig:
     @staticmethod
     def full(param_dtype: str = "bfloat16") -> "EngineConfig":
         arch = os.environ.get("CHATTERBOX_S3GEN_ARCH", "ref")
+        ref_cfg = None
+        if arch == "ref":
+            ref_cfg = S3GenRefConfig()
+            # CHATTERBOX_FLOW_PROMPT_TOKENS trims the flow's per-chunk prompt
+            # window (reference default: 10 s = 250 tokens / 500 mel frames,
+            # tts_streaming.py:365-366). Every chunk re-encodes this window,
+            # so it sets the flow's compute floor; a smaller budget trades
+            # some voice-conditioning context for throughput. Deliberate
+            # TPU-serving knob — the reference has no equivalent.
+            ptoks = int(os.environ.get("CHATTERBOX_FLOW_PROMPT_TOKENS", "0") or 0)
+            if 0 < ptoks < ref_cfg.max_prompt_tokens:
+                ref_cfg = dataclasses.replace(
+                    ref_cfg, max_prompt_tokens=ptoks, max_prompt_mel=2 * ptoks
+                )
         return EngineConfig(
             t3=T3Config(),
             s3gen=S3GenConfig(),
@@ -132,7 +146,7 @@ class EngineConfig:
             ve=VoiceEncoderConfig(),
             param_dtype=param_dtype,
             s3gen_arch=arch,
-            s3gen_ref=S3GenRefConfig() if arch == "ref" else None,
+            s3gen_ref=ref_cfg,
         )
 
 
