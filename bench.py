@@ -24,10 +24,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def _device_alive(timeout_s: int = 300) -> bool:
+def _device_alive(timeout_s: int | None = None) -> bool:
     """Probe the accelerator in a subprocess so a wedged runtime cannot hang
-    the benchmark itself."""
+    the benchmark itself. BENCH_PROBE_TIMEOUT (seconds, default 600) tunes
+    the patience — the tunneled runtime can take minutes to come back after
+    heavy HBM churn, and killing a probe mid-device_put wedges it further."""
     import subprocess
+
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("BENCH_PROBE_TIMEOUT", "600"))
 
     code = (
         "import jax, numpy as np;"
@@ -76,8 +81,12 @@ def main() -> None:
     tiny = os.environ.get("BENCH_TINY", "0") == "1"
     dtype = jnp.float32 if tiny else jnp.bfloat16
     slice_tokens = 8 if tiny else 35
+    # int8 KV matches the serving default (scale-factored attention)
     t3c = (T3Config.tiny() if tiny else T3Config()).with_(
-        kv_cache_dtype=os.environ.get("BENCH_KV", "native"))
+        kv_cache_dtype=os.environ.get("BENCH_KV", "int8"))
+    use_pallas = os.environ.get("CHATTERBOX_PALLAS", "0") == "1"
+    if use_pallas and t3c.kv_cache_dtype != "int8" and t3c.num_kv_heads % 2 == 0:
+        t3c = t3c.with_(kv_cache_layout="paired")
     # BENCH_KV_HEADS=N measures a grouped-query variant (smaller KV cache →
     # more decode bandwidth headroom). Serving the pretrained checkpoint needs
     # its 16 KV heads; this knob quantifies what GQA distillation would buy.
@@ -151,16 +160,22 @@ def main() -> None:
             k_scale=jnp.zeros((L, Bb, S_max, Hk), jnp.float32),
             v_scale=jnp.zeros((L, Bb, S_max, Hk), jnp.float32),
         )
+    elif t3c.kv_cache_layout == "paired":
+        cache_b.update(
+            k=jnp.zeros((L, Bb, Hk // 2, S_max, 2 * Dh), dtype),
+            v=jnp.zeros((L, Bb, Hk // 2, S_max, 2 * Dh), dtype),
+        )
     else:
         cache_b.update(
             k=jnp.zeros((L, Bb, S_max, Hk, Dh), dtype),
             v=jnp.zeros((L, Bb, S_max, Hk, Dh), dtype),
         )
     state_b = make_decode_state(jax.random.PRNGKey(4), t3c, n_slots, 0.8, 0.95, 0.5, 1.2)
-    # View bucketing is only copy-free through the Pallas kernel (grid-bounded
-    # read); the XLA path must use the full view (see models/t3/model.py).
-    use_pallas = os.environ.get("CHATTERBOX_PALLAS", "0") == "1"
-    s_view = min(S_max, 768) if use_pallas else None
+    # View bucketing is only copy-free through the paired Pallas kernel
+    # (grid-bounded read); the XLA path must use the full view. The bucket
+    # matches the scheduler's steady-state rule (max fill across slots).
+    bench_view = int(os.environ.get("BENCH_VIEW", "768"))
+    s_view = min(S_max, bench_view) if t3c.kv_cache_layout == "paired" else None
     toks, cache_b, state_b = t3_decode_slice(
         t3_params, t3c, cache_b, state_b, slice_tokens, s_view
     )

@@ -47,6 +47,11 @@ class T3Config:
     # batched decode, at ~1% attention error)
     kv_cache_dtype: str = "native"
 
+    # KV cache layout: "seq" ([L, B, S, Hk, Dh], XLA grouped attention) or
+    # "paired" ([L, B, Hk//2, S, 2*Dh], head-paired Pallas kernel whose grid
+    # bounds reads to the filled prefix — ops/pallas_attention_v3.py).
+    kv_cache_layout: str = "seq"
+
     # Sequence budget. 160 covers a 150-char chunk even with the 1-token-per-
     # char fallback tokenizer (BPE needs ~60); +SOT/EOT.
     max_text_tokens: int = 160

@@ -245,42 +245,32 @@ def _backbone_decode_step(
     """
     B = h.shape[0]
     Dh = cfg.head_dim
-    S = s_view if s_view is not None else k_cache.shape[2]
+    # cache seq axis: [L,B,S,Hk,Dh] seq-major / [L,B,Hp,S,128] paired
+    S_alloc = k_cache.shape[3] if cfg.kv_cache_layout == "paired" else k_cache.shape[2]
+    S = s_view if s_view is not None else S_alloc
     cos, sin = rope_frequencies(Dh, cfg.max_seq_len, cfg.rope_theta)
     positions = pos[:, None]  # [B, 1]
     idx = jnp.arange(S)[None, None, None, :]
     cache_valid = (idx >= start[:, None, None, None]) & (idx < pos[:, None, None, None])
     scale = 1.0 / math.sqrt(Dh)
     quantized = k_scale is not None
-
-    from ...ops.pallas_attention import pallas_decode_attention, pallas_enabled
-
-    use_pallas = (
-        pallas_enabled()
-        and jax.default_backend() == "tpu"
-        and not quantized
-        # under GQA the kernel would need a G-times repeated cache per layer
-        # per step — exactly the bandwidth the grouped XLA path avoids; keep
-        # XLA until the kernel is GQA-aware (ADVICE r1)
-        and cfg.num_kv_heads == cfg.num_heads
-    )
+    paired = cfg.kv_cache_layout == "paired" and not quantized
 
     def layer(h, xs):
+        kc_s = vc_s = None
         if quantized:
-            lp, kc_q, vc_q, kc_s, vc_s = xs
+            lp, kc, vc, kc_s, vc_s = xs
             if s_view is not None:
-                kc_q = jax.lax.slice_in_dim(kc_q, 0, s_view, axis=1)
-                vc_q = jax.lax.slice_in_dim(vc_q, 0, s_view, axis=1)
+                kc = jax.lax.slice_in_dim(kc, 0, s_view, axis=1)
+                vc = jax.lax.slice_in_dim(vc, 0, s_view, axis=1)
                 kc_s = jax.lax.slice_in_dim(kc_s, 0, s_view, axis=1)
                 vc_s = jax.lax.slice_in_dim(vc_s, 0, s_view, axis=1)
-            kc = _dequantize_kv(kc_q, kc_s, h.dtype)
-            vc = _dequantize_kv(vc_q, vc_s, h.dtype)
         else:
             lp, kc, vc = xs
-            if s_view is not None and not use_pallas:
+            if s_view is not None and not paired:
                 # XLA path: the slice materializes a copy each step — only
-                # acceptable off-TPU; the Pallas path bounds the read via its
-                # grid instead (no copy).
+                # acceptable off-TPU; the paired-kernel path bounds the read
+                # via its grid instead (no copy).
                 kc = jax.lax.slice_in_dim(kc, 0, s_view, axis=1)
                 vc = jax.lax.slice_in_dim(vc, 0, s_view, axis=1)
         x = rms_norm(h, lp["attn_norm"], cfg.rms_eps)
@@ -288,29 +278,45 @@ def _backbone_decode_step(
         k = apply_rope(_split_heads(linear(x, lp["wk"]), cfg.num_kv_heads, Dh), cos, sin, positions)
         v = _split_heads(linear(x, lp["wv"]), cfg.num_kv_heads, Dh)
         G = cfg.num_heads // cfg.num_kv_heads
-        if use_pallas:
-            kr, vr = _maybe_repeat_kv(k, cfg), _maybe_repeat_kv(v, cfg)
-            kcr, vcr = _maybe_repeat_kv(kc, cfg), _maybe_repeat_kv(vc, cfg)
-            o = pallas_decode_attention(
-                q[:, 0], kcr, vcr, kr[:, 0], vr[:, 0], start, pos,
+        if paired:
+            from ...ops.pallas_attention_v3 import paired_decode_attention
+
+            o = paired_decode_attention(
+                q[:, 0], kc, vc, k[:, 0], v[:, 0], start, pos,
                 s_view=s_view,
+                interpret=jax.default_backend() != "tpu",
             )[:, None]  # [B, 1, H, Dh]
         else:
             # grouped attention WITHOUT materializing a repeated cache (the
             # repeat would multiply cache traffic by G and erase GQA's win):
             # fold query heads into [B, Hk, G, Dh] against the shared KV head.
             qg = q[:, 0].reshape(B, cfg.num_kv_heads, G, Dh)
+            # int8 cache: per-token scales factor OUT of the dots —
+            #   q·(k_int8·s) == (q·k_int8)·s  — so the int8 tensors feed the
+            # einsum directly (the int8→bf16 convert fuses into the matmul
+            # read) and the scale lands on the tiny score/prob tensors. The
+            # r1 implementation dequantized the whole cache per step, which
+            # materialized a bf16 copy and made int8 SLOWER than bf16.
+            kc_in = kc if not quantized else kc.astype(h.dtype)
             s_cache = jnp.einsum(
-                "bhgd,bkhd->bhgk", qg, kc, preferred_element_type=jnp.float32
+                "bhgd,bkhd->bhgk", qg, kc_in, preferred_element_type=jnp.float32
             ) * scale  # [B, Hk, G, S]
+            if quantized:
+                s_cache = s_cache * kc_s.transpose(0, 2, 1)[:, :, None, :]
             s_cache = jnp.where(cache_valid, s_cache, NEG_INF)
             s_self = jnp.einsum(
                 "bhgd,bhd->bhg", qg, k[:, 0], preferred_element_type=jnp.float32
             )[..., None] * scale  # [B, Hk, G, 1]
             probs = jax.nn.softmax(jnp.concatenate([s_cache, s_self], axis=-1), axis=-1)
+            pc = probs[..., :S]
+            if quantized:
+                pc = pc * vc_s.transpose(0, 2, 1)[:, :, None, :]
+                vc_in = vc.astype(h.dtype)
+            else:
+                vc_in = vc
             o = (
                 jnp.einsum(
-                    "bhgk,bkhd->bhgd", probs[..., :S].astype(vc.dtype), vc,
+                    "bhgk,bkhd->bhgd", pc.astype(h.dtype), vc_in,
                     preferred_element_type=jnp.float32,
                 )
                 + probs[..., S:].astype(jnp.float32) * v[:, 0][:, :, None, :].astype(jnp.float32)
@@ -337,6 +343,15 @@ def _write_cache(cache_arr: jnp.ndarray, new: jnp.ndarray, pos: jnp.ndarray) -> 
     def per_row(c, n, p):  # c: [L, S, ...], n: [L, 1, ...]
         idx = (0, p) + (0,) * (c.ndim - 2)
         return jax.lax.dynamic_update_slice(c, n, idx)
+
+    return jax.vmap(per_row, in_axes=(1, 1, 0), out_axes=1)(cache_arr, new, pos)
+
+
+def _write_cache_paired(cache_arr: jnp.ndarray, new: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """Write new [L, B, Hp, 1, 128] into cache [L, B, Hp, S, 128] at pos [B]."""
+
+    def per_row(c, n, p):  # c: [L, Hp, S, 128], n: [L, Hp, 1, 128]
+        return jax.lax.dynamic_update_slice(c, n, (0, 0, p, 0))
 
     return jax.vmap(per_row, in_axes=(1, 1, 0), out_axes=1)(cache_arr, new, pos)
 
@@ -429,6 +444,14 @@ def t3_prefill(
         cache.update(
             k=jnp.pad(kq, padw), v=jnp.pad(vq, padw),
             k_scale=jnp.pad(ks, padw_s), v_scale=jnp.pad(vs, padw_s),
+        )
+    elif cfg.kv_cache_layout == "paired":
+        from ...ops.pallas_attention_v3 import pack_cache_paired
+
+        padw_p = ((0, 0), (0, 0), (0, 0), (0, S_max - P), (0, 0))
+        cache.update(
+            k=jnp.pad(pack_cache_paired(k_all), padw_p),
+            v=jnp.pad(pack_cache_paired(v_all), padw_p),
         )
     else:
         cache.update(k=jnp.pad(k_all, padw), v=jnp.pad(v_all, padw))
@@ -528,6 +551,11 @@ def t3_decode_slice(
             new_cache["v"] = _write_cache(cache["v"], vq, cache["pos"])
             new_cache["k_scale"] = _write_cache(cache["k_scale"], ks, cache["pos"])
             new_cache["v_scale"] = _write_cache(cache["v_scale"], vs, cache["pos"])
+        elif cfg.kv_cache_layout == "paired":
+            L_, B_ = k_new.shape[0], k_new.shape[1]
+            pair_shape = (L_, B_, cfg.num_kv_heads // 2, 1, 2 * cfg.head_dim)
+            new_cache["k"] = _write_cache_paired(cache["k"], k_new.reshape(pair_shape), cache["pos"])
+            new_cache["v"] = _write_cache_paired(cache["v"], v_new.reshape(pair_shape), cache["pos"])
         else:
             new_cache["k"] = _write_cache(cache["k"], k_new, cache["pos"])
             new_cache["v"] = _write_cache(cache["v"], v_new, cache["pos"])

@@ -139,8 +139,13 @@ class EngineConfig:
                 ref_cfg = dataclasses.replace(
                     ref_cfg, max_prompt_tokens=ptoks, max_prompt_mel=2 * ptoks
                 )
+        # int8 KV cache is the serving default: with the scale-factored
+        # attention (scales applied to scores/probs, cache fed to the matmul
+        # as int8) the 35-token batched slice measures 500 ms vs 679 ms bf16
+        # at 16 slots, and cache memory halves. CHATTERBOX_KV=native reverts.
+        kv = os.environ.get("CHATTERBOX_KV", "int8")
         return EngineConfig(
-            t3=T3Config(),
+            t3=T3Config().with_(kv_cache_dtype=kv),
             s3gen=S3GenConfig(),
             s3tok=S3TokConfig(),
             ve=VoiceEncoderConfig(),
@@ -247,6 +252,17 @@ class TTSEngine:
                     engine_cfg = EngineConfig.tiny()
             else:
                 engine_cfg = EngineConfig.full(settings.DTYPE_POLICY)
+        if (
+            _pallas_active()
+            and engine_cfg.t3.kv_cache_layout == "seq"
+            and engine_cfg.t3.kv_cache_dtype != "int8"
+            and engine_cfg.t3.num_kv_heads % 2 == 0
+        ):
+            # head-paired KV layout → grid-bounded decode attention
+            # (ops/pallas_attention_v3.py): reads only the filled cache prefix
+            engine_cfg = dataclasses.replace(
+                engine_cfg, t3=engine_cfg.t3.with_(kv_cache_layout="paired")
+            )
             if settings.KV_CACHE_DTYPE != "native":
                 engine_cfg = dataclasses.replace(
                     engine_cfg,
@@ -388,7 +404,7 @@ class TTSEngine:
             if self.decoder is not None:
                 cache_shapes = shape_of(self.decoder.cache)
                 state_shapes = shape_of(self.decoder.state)
-                if _pallas_active():
+                if t3c.kv_cache_layout == "paired":
                     views = sorted(
                         {
                             min(t3c.max_seq_len, ((v + 255) // 256) * 256)
@@ -413,16 +429,20 @@ class TTSEngine:
                 depth = P + 1 + t3c.max_speech_tokens
                 Hk, Dh, L = t3c.num_kv_heads, t3c.head_dim, t3c.num_layers
                 dt = jax.tree.leaves(self.params["t3"])[0].dtype
+                if t3c.kv_cache_layout == "paired":
+                    kv_shape = (L, 2, Hk // 2, depth, 2 * Dh)
+                else:
+                    kv_shape = (L, 2, depth, Hk, Dh)
                 cache_shapes = {
-                    "k": jax.ShapeDtypeStruct((L, 2, depth, Hk, Dh), dt),
-                    "v": jax.ShapeDtypeStruct((L, 2, depth, Hk, Dh), dt),
+                    "k": jax.ShapeDtypeStruct(kv_shape, dt),
+                    "v": jax.ShapeDtypeStruct(kv_shape, dt),
                     "start": jax.ShapeDtypeStruct((2,), jnp.int32),
                     "pos": jax.ShapeDtypeStruct((2,), jnp.int32),
                 }
                 state_shapes = shape_of(
                     make_decode_state(jax.random.PRNGKey(0), t3c, 1, 0.8, 0.95, 0.5, 1.2)
                 )
-                if _pallas_active():
+                if t3c.kv_cache_layout == "paired":
                     views = sorted(
                         {min(depth, v) for v in range(256, depth + 256, 256)}
                     )
@@ -547,7 +567,7 @@ class TTSEngine:
             # warm the SAME s_view variant the serving path uses first
             pos0 = self.cfg.t3.cond_len + self.cfg.text_bucket
             cache_depth = pos0 + 1 + self.cfg.t3.max_speech_tokens
-            if _pallas_active():
+            if self.cfg.t3.kv_cache_layout == "paired":
                 s_view = min(cache_depth, ((pos0 + slice_size + 1 + 255) // 256) * 256)
             else:
                 s_view = None
@@ -871,7 +891,7 @@ class TTSEngine:
                     # first decode slice is the short look-ahead group
                     want = _lookahead_size(slice_size) if produced == 0 else slice_size
                     n = min(want, self.cfg.max_new_tokens - produced)
-                    if _pallas_active():
+                    if t3c.kv_cache_layout == "paired":
                         need = pos0 + produced + n + 1
                         s_view = min(cache_depth, ((need + 255) // 256) * 256)
                     else:

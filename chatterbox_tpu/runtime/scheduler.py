@@ -79,6 +79,13 @@ class BatchedT3Decoder:
                 k_scale=jnp.zeros((L, B, S, Hk), jnp.float32),
                 v_scale=jnp.zeros((L, B, S, Hk), jnp.float32),
             )
+        elif cfg.kv_cache_layout == "paired":
+            # head-paired layout for the grid-bounded decode kernel
+            # (ops/pallas_attention_v3.py): [L, B, Hk//2, S, 2*Dh]
+            self.cache.update(
+                k=jnp.zeros((L, B, Hk // 2, S, 2 * Dh), dtype),
+                v=jnp.zeros((L, B, Hk // 2, S, 2 * Dh), dtype),
+            )
         else:
             self.cache.update(
                 k=jnp.zeros((L, B, S, Hk, Dh), dtype),
@@ -116,6 +123,19 @@ class BatchedT3Decoder:
                 P = cond.shape[1] + text.shape[1]
                 lane = 2 * slot
                 out = dict(cache)
+                if cfg.kv_cache_layout == "paired" and cfg.kv_cache_dtype != "int8":
+                    from ..ops.pallas_attention_v3 import pack_cache_paired
+
+                    # one-time relayout per admission (≈100 MB), not per step
+                    kp = pack_cache_paired(k)  # [L, 2, Hp, S, 2*Dh]
+                    vp = pack_cache_paired(v)
+                    out["k"] = jax.lax.dynamic_update_slice(cache["k"], kp, (0, lane, 0, 0, 0))
+                    out["v"] = jax.lax.dynamic_update_slice(cache["v"], vp, (0, lane, 0, 0, 0))
+                    out["start"] = jax.lax.dynamic_update_slice(cache["start"], pad, (lane,))
+                    out["pos"] = jax.lax.dynamic_update_slice(
+                        cache["pos"], jnp.full((2,), P, jnp.int32), (lane,)
+                    )
+                    return out
                 if cfg.kv_cache_dtype == "int8":
                     kq, ks = _quantize_kv(k)
                     vq, vs = _quantize_kv(v)
@@ -314,9 +334,7 @@ class BatchedT3Decoder:
                 # grid bounds the read without copying; XLA slices materialize
                 # multi-GB temporaries (measured: 597 ms full-view vs 1529 ms
                 # per-layer-slice at 16 slots). jnp path → full view.
-                from ..ops.pallas_attention import pallas_enabled
-
-                if pallas_enabled() and jax.default_backend() == "tpu":
+                if cfg.kv_cache_layout == "paired":
                     max_pos = max(self._pos_host[s] for s in active)
                     need = max_pos + self.slice_size + 1
                     s_view = min(cfg.max_seq_len, ((need + 255) // 256) * 256)

@@ -29,6 +29,10 @@ def main() -> None:
 
     from chatterbox_tpu.ops.pallas_attention import pallas_decode_attention
     from chatterbox_tpu.ops.pallas_attention_v2 import pallas_decode_attention_hmajor
+    from chatterbox_tpu.ops.pallas_attention_v3 import (
+        pack_cache_paired,
+        paired_decode_attention,
+    )
 
     B, H, Dh, S = 2 * args.slots, 16, 64, args.seq
     ks = jax.random.split(jax.random.PRNGKey(0), 5)
@@ -69,6 +73,18 @@ def main() -> None:
         ("pallas v2 (head-major, b=256)", functools.partial(
             lambda q, bs: pallas_decode_attention_hmajor(q, kc_hm, vc_hm, kn, vn, start, pos, block_s=bs), bs=256)),
     ]
+    kc_pr = pack_cache_paired(kc_sh)
+    vc_pr = pack_cache_paired(vc_sh)
+    for view in (None, 512, 256):
+        cases.append((
+            f"pallas v3 (paired, view={view})",
+            functools.partial(
+                lambda q, v: paired_decode_attention(
+                    q, kc_pr, vc_pr, kn, vn, start, pos, s_view=v
+                ),
+                v=view,
+            ),
+        ))
     bytes_per = 2 * B * H * S * Dh * 2
     for name, fn in cases:
         try:

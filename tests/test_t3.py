@@ -167,3 +167,25 @@ def test_train_forward_shapes(params):
     logits = t3_forward_train(params, CFG, cond, text, speech)
     assert logits.shape == (B, S, CFG.speech_vocab_size)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_paired_cache_layout_matches_seq(params):
+    """The head-paired cache layout + grid-bounded kernel must reproduce the
+    seq-layout decode exactly (greedy; interpret-mode kernel on CPU)."""
+    cfg_p = CFG.with_(kv_cache_layout="paired")
+    text = jnp.array([[3, 9, 5, 6]], jnp.int32)
+    lanes = jnp.repeat(text, 2, axis=0)
+    cond = jnp.repeat(_cond(params), 2, axis=0)
+    tlen = jnp.full((2,), 4, jnp.int32)
+
+    def run(cfg, s_view=None):
+        cache = t3_prefill(params, cfg, cond, lanes, tlen)
+        state = make_decode_state(jax.random.PRNGKey(7), cfg, 1, 0.0, 1.0, 0.5, 1.1)
+        toks, _, _ = t3_decode_slice(params, cfg, cache, state, 6, s_view)
+        return np.asarray(toks)
+
+    want = run(CFG)
+    np.testing.assert_array_equal(run(cfg_p), want)
+    # grid-bounded view (any bucket covering the filled prefix) is equivalent
+    depth = CFG.cond_len + 4 + 1 + CFG.max_speech_tokens
+    np.testing.assert_array_equal(run(cfg_p, s_view=min(depth, 64)), want)
