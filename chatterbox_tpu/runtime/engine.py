@@ -144,6 +144,10 @@ class EngineConfig:
         # as int8) the 35-token batched slice measures 500 ms vs 679 ms bf16
         # at 16 slots, and cache memory halves. CHATTERBOX_KV=native reverts.
         kv = os.environ.get("CHATTERBOX_KV", "int8")
+        # decode cap per text chunk (reference: 1000 — tts_streaming.py:423).
+        # CHATTERBOX_MAX_NEW_TOKENS trims it, e.g. for load tests with
+        # random weights where no natural EOS ever fires.
+        cap = int(os.environ.get("CHATTERBOX_MAX_NEW_TOKENS", "1000"))
         return EngineConfig(
             t3=T3Config().with_(kv_cache_dtype=kv),
             s3gen=S3GenConfig(),
@@ -152,6 +156,7 @@ class EngineConfig:
             param_dtype=param_dtype,
             s3gen_arch=arch,
             s3gen_ref=ref_cfg,
+            max_new_tokens=max(8, min(cap, 1000)),
         )
 
 
@@ -252,6 +257,11 @@ class TTSEngine:
                     engine_cfg = EngineConfig.tiny()
             else:
                 engine_cfg = EngineConfig.full(settings.DTYPE_POLICY)
+        if settings.KV_CACHE_DTYPE != "native":
+            engine_cfg = dataclasses.replace(
+                engine_cfg,
+                t3=engine_cfg.t3.with_(kv_cache_dtype=settings.KV_CACHE_DTYPE),
+            )
         if (
             _pallas_active()
             and engine_cfg.t3.kv_cache_layout == "seq"
@@ -263,11 +273,6 @@ class TTSEngine:
             engine_cfg = dataclasses.replace(
                 engine_cfg, t3=engine_cfg.t3.with_(kv_cache_layout="paired")
             )
-            if settings.KV_CACHE_DTYPE != "native":
-                engine_cfg = dataclasses.replace(
-                    engine_cfg,
-                    t3=engine_cfg.t3.with_(kv_cache_dtype=settings.KV_CACHE_DTYPE),
-                )
         self.cfg = engine_cfg
         self.seed = seed
         self.gen_cfg = engine_cfg.gen  # active token→waveform config
@@ -383,7 +388,9 @@ class TTSEngine:
                 # micro-batched (vmapped) variants: first concurrent traffic
                 # otherwise stalls ~10 s per (bucket, batch) combination
                 if self.s3gen_scheduler is not None:
-                    for Bv in range(2, self.s3gen_scheduler.max_batch + 1):
+                    batch_sizes = [b for b in (2, 4, 8, 16)
+                                   if b <= self.s3gen_scheduler.max_batch]
+                    for Bv in batch_sizes:
                         def compile_batched(T=T, Bv=Bv):
                             rB = jax.tree.map(
                                 lambda s: jax.ShapeDtypeStruct((Bv,) + s.shape, s.dtype),

@@ -39,7 +39,7 @@ class _Job:
 
 
 class S3GenScheduler:
-    def __init__(self, params: Dict, cfg, max_batch: int = 4, infer=None):
+    def __init__(self, params: Dict, cfg, max_batch: int = 16, infer=None):
         """``infer``: per-item inference fn with the s3gen_inference signature
         (params, tokens, token_len, ref, src, cache_len, key) — lets the
         engine run either token→waveform architecture through the same
@@ -117,7 +117,15 @@ class S3GenScheduler:
                 await self._wake.wait()
                 continue
             queue = self._queues[bucket]
-            jobs, queue[:] = queue[: self.max_batch], queue[self.max_batch :]
+            # power-of-two batch sizes only: keeps the compiled-variant set
+            # small ({1,2,4,8,16} instead of every B) while still collapsing
+            # a 16-stream window into one dispatch. On the tunneled runtime
+            # every dispatch costs ~30 ms of round-trip, so fewer, larger
+            # calls matter beyond MXU utilization.
+            take = 1
+            while take * 2 <= min(len(queue), self.max_batch):
+                take *= 2
+            jobs, queue[:] = queue[:take], queue[take:]
             B, T = len(jobs), bucket
 
             def run_batch():

@@ -31,7 +31,7 @@ TEXT = (
 )
 
 
-async def _one_request(session, url: str, idx: int) -> dict:
+async def _one_request(session, url: str, idx: int, overlap: str = "full") -> dict:
     t0 = time.perf_counter()
     ttfa = None
     n_bytes = 0
@@ -39,6 +39,7 @@ async def _one_request(session, url: str, idx: int) -> dict:
         "text": TEXT,
         "format": "wav",
         "request_id": f"serve-bench-{idx}",
+        "chunk_overlap_strategy": overlap,
     }) as resp:
         assert resp.status == 200, f"status {resp.status}"
         async for chunk in resp.content.iter_chunked(65536):
@@ -74,7 +75,10 @@ async def run(args) -> None:
     url = f"http://127.0.0.1:{port}/tts/generate"
     headers = {"X-API-Key": os.environ.get("API_KEY", "bench")}
     conn = aiohttp.TCPConnector(limit=args.streams * 2)
-    async with aiohttp.ClientSession(headers=headers, connector=conn) as session:
+    # no client timeout: the first warm-up wave may sit behind request-time
+    # graph compiles far longer than aiohttp's 300 s default
+    timeout = aiohttp.ClientTimeout(total=None)
+    async with aiohttp.ClientSession(headers=headers, connector=conn, timeout=timeout) as session:
         for wave in range(args.warmup_waves):
             t0 = time.perf_counter()
             r = await asyncio.gather(*[
@@ -85,27 +89,28 @@ async def run(args) -> None:
                 f"warmup wave {wave}: {time.perf_counter()-t0:.1f}s wall, "
                 f"{sum(x['audio_s'] for x in r):.1f}s audio\n"
             )
-        t0 = time.perf_counter()
-        results = await asyncio.gather(*[
-            _one_request(session, url, i) for i in range(args.streams)
-        ])
-        wall = time.perf_counter() - t0
+        for overlap in ("full", "zero"):
+            t0 = time.perf_counter()
+            results = await asyncio.gather(*[
+                _one_request(session, url, 1000 + i, overlap)
+                for i in range(args.streams)
+            ])
+            wall = time.perf_counter() - t0
+            ttfas = sorted(r["ttfa"] for r in results)
+            rtfs = sorted(r["wall"] / max(r["audio_s"], 1e-6) for r in results)
+            out = {
+                "overlap": overlap,
+                "streams": args.streams,
+                "realtime_streams": sum(1 for r in rtfs if r < 1.0),
+                "ttfa_p50_ms": round(statistics.median(ttfas) * 1e3, 1),
+                "ttfa_p99_ms": round(ttfas[min(len(ttfas) - 1, int(0.99 * len(ttfas)))] * 1e3, 1),
+                "rtf_p50": round(statistics.median(rtfs), 4),
+                "rtf_max": round(rtfs[-1], 4),
+                "audio_s_total": round(sum(r["audio_s"] for r in results), 1),
+                "wall_s": round(wall, 1),
+            }
+            print(json.dumps(out), flush=True)
     await runner.cleanup()
-
-    ttfas = sorted(r["ttfa"] for r in results)
-    rtfs = sorted(r["wall"] / max(r["audio_s"], 1e-6) for r in results)
-    realtime = sum(1 for r in rtfs if r < 1.0)
-    out = {
-        "streams": args.streams,
-        "realtime_streams": realtime,
-        "ttfa_p50_ms": round(statistics.median(ttfas) * 1e3, 1),
-        "ttfa_p99_ms": round(ttfas[min(len(ttfas) - 1, int(0.99 * len(ttfas)))] * 1e3, 1),
-        "rtf_p50": round(statistics.median(rtfs), 4),
-        "rtf_max": round(rtfs[-1], 4),
-        "audio_s_total": round(sum(r["audio_s"] for r in results), 1),
-        "wall_s": round(wall, 1),
-    }
-    print(json.dumps(out))
 
 
 def main() -> None:
@@ -115,6 +120,10 @@ def main() -> None:
     ap.add_argument("--tiny", action="store_true", help="tiny random model (CI/CPU)")
     args = ap.parse_args()
     os.environ.setdefault("API_KEY", "bench")
+    # the reference default caps in-flight synthesis at 1 per worker
+    # (config.py CONCURRENT_REQUESTS_PER_WORKER) — a load test must lift it
+    # or it measures queue wait, not serving capacity
+    os.environ.setdefault("CONCURRENT_REQUESTS_PER_WORKER", str(args.streams))
     if args.tiny:
         os.environ.setdefault("CHATTERBOX_TINY_MODEL", "1")
     # the TPU backend must be touched on the main thread BEFORE any asyncio

@@ -43,10 +43,12 @@ def test_batched_matches_direct_call(setup):
     async def run():
         sched = S3GenScheduler(params, CFG, max_batch=4)
         try:
+            # 4 jobs = one power-of-two batch (the scheduler slices queues
+            # into power-of-two batches to bound the compiled-variant set)
             results = await asyncio.gather(
                 *[
                     sched.synthesize(tokens, T, ref, src, 0, key)
-                    for _ in range(3)
+                    for _ in range(4)
                 ]
             )
             return results
