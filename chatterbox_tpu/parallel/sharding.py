@@ -60,6 +60,15 @@ def _match_tree(params: Dict, specs) -> Dict:
             k: _match_tree(v, specs.get(k) if isinstance(specs, dict) else None)
             for k, v in params.items()
         }
+    if isinstance(params, (list, tuple)):
+        out = [
+            _match_tree(
+                v,
+                specs[i] if isinstance(specs, (list, tuple)) and i < len(specs) else None,
+            )
+            for i, v in enumerate(params)
+        ]
+        return type(params)(out) if isinstance(params, tuple) else out
     return specs
 
 
@@ -72,6 +81,116 @@ def t3_param_sharding(params: Dict, mesh: Mesh) -> Dict:
     )
 
 
+def s3gen_ref_param_specs(cfg) -> Dict:
+    """TP rules for the checkpoint-compatible S3Gen (the serving-heavy half):
+
+    * flow conformer blocks: attention q/k/v/pos column-parallel on heads,
+      out row-parallel; feed-forward w1 column / w2 row (one psum per block);
+      pos_bias u/v shard the head dim.
+    * CFM estimator transformer blocks: to_q/k/v column, to_out row; GEGLU-
+      free ff1 column / ff2 row. Resnet convs: block1 column (Cout), block2
+      row (Cin); group-norm groups stay shard-local for tp ≤ 8 (256/8 ch per
+      group). time-MLP projections follow block1's column sharding.
+    * tokenizer / CAMPPlus / HiFT / embeddings replicate (embed_ref runs per
+      voice, HiFT is 7% of flow FLOPs — not worth the collectives).
+    """
+    tp = AXES.tp
+
+    def conformer():
+        return {
+            "attn": {
+                "q": {"w": P(None, tp), "b": P(tp)},
+                "k": {"w": P(None, tp), "b": P(tp)},
+                "v": {"w": P(None, tp), "b": P(tp)},
+                "out": {"w": P(tp, None), "b": P()},
+                "pos": {"w": P(None, tp)},
+                "bias_u": P(tp, None),
+                "bias_v": P(tp, None),
+            },
+            "norm_mha": None,
+            "ff": {"w1": {"w": P(None, tp), "b": P(tp)}, "w2": {"w": P(tp, None), "b": P()}},
+            "norm_ff": None,
+        }
+
+    def tf_block():
+        return {
+            "norm1": None,
+            "to_q": {"w": P(None, tp)},
+            "to_k": {"w": P(None, tp)},
+            "to_v": {"w": P(None, tp)},
+            "to_out": {"w": P(tp, None), "b": P()},
+            "norm3": None,
+            "ff1": {"w": P(None, tp), "b": P(tp)},
+            "ff2": {"w": P(tp, None), "b": P()},
+        }
+
+    def resnet():
+        return {
+            "mlp": {"w": P(None, tp), "b": P(tp)},
+            "block1": {"conv": {"w": P(None, None, tp), "b": P(tp)}, "gn": None},
+            "block2": {"conv": {"w": P(None, tp, None), "b": P()}, "gn": None},
+            "res": {"w": P(None, None, None), "b": P()},
+        }
+
+    fl = cfg.flow
+    return {
+        "tokenizer": None,
+        "speaker": None,
+        "mel2wav": None,
+        "flow": {
+            "input_emb": P(),
+            "spk_affine": None,
+            "encoder_proj": None,
+            "encoder": {
+                "embed": None,
+                "lookahead": None,
+                "up_conv": None,
+                "up_embed": None,
+                "after_norm": None,
+                "blocks": [conformer() for _ in range(fl.num_blocks)],
+                "up_blocks": [conformer() for _ in range(fl.num_up_blocks)],
+            },
+            "estimator": {
+                "time_mlp": None,
+                "down": {"resnet": resnet(), "tf": [tf_block() for _ in range(fl.dec_n_blocks)], "conv": None},
+                "mid": [
+                    {"resnet": resnet(), "tf": [tf_block() for _ in range(fl.dec_n_blocks)]}
+                    for _ in range(fl.dec_num_mid_blocks)
+                ],
+                "up": {"resnet": resnet(), "tf": [tf_block() for _ in range(fl.dec_n_blocks)], "conv": None},
+                "final": None,
+                "proj": None,
+            },
+        },
+    }
+
+
+def _spec_is_shardable(spec: P, shape, mesh: Mesh) -> bool:
+    """A spec applies only if every named axis divides its dimension."""
+    for dim, names in zip(shape, tuple(spec) + (None,) * (len(shape) - len(spec))):
+        if names is None:
+            continue
+        for name in (names if isinstance(names, tuple) else (names,)):
+            size = mesh.shape[name]
+            if dim % size:
+                return False
+    return True
+
+
+def s3gen_ref_param_sharding(params: Dict, cfg, mesh: Mesh) -> Dict:
+    specs = _match_tree(params, s3gen_ref_param_specs(cfg))
+    # tiny test configs may not divide by tp — fall back to replication per leaf
+    fixed = jax.tree.map(
+        lambda leaf, s: s if _spec_is_shardable(s, leaf.shape, mesh) else P(),
+        params, specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s), fixed,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(AXES.dp))
 
@@ -79,3 +198,8 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 def shard_params(params: Dict, mesh: Mesh) -> Dict:
     """Place a T3 params pytree onto the mesh per the TP rules."""
     return jax.device_put(params, t3_param_sharding(params, mesh))
+
+
+def shard_s3gen_ref_params(params: Dict, cfg, mesh: Mesh) -> Dict:
+    """Place an s3gen_ref params pytree onto the mesh per the TP rules."""
+    return jax.device_put(params, s3gen_ref_param_sharding(params, cfg, mesh))

@@ -544,10 +544,22 @@ class TTSEngine:
             from ..parallel import make_mesh, shard_params
 
             self.mesh = make_mesh(dp=1, tp=tp, devices=jax.devices()[:tp])
-            t3_sharded = shard_params(self.params["t3"], self.mesh)
-            rest = jax.device_put({k: v for k, v in self.params.items() if k != "t3"})
-            self.params = {"t3": t3_sharded, **rest}
-            log.info("T3 tensor-parallel over %d devices", tp)
+            sharded = {"t3": shard_params(self.params["t3"], self.mesh)}
+            if self.cfg.s3gen_arch == "ref":
+                # the flow conformer + CFM estimator carry the synthesis
+                # FLOPs — TP-shard them too (tokenizer/CAMPPlus/HiFT and
+                # non-divisible tiny leaves fall back to replication)
+                from ..parallel.sharding import shard_s3gen_ref_params
+
+                sharded["s3gen"] = shard_s3gen_ref_params(
+                    self.params["s3gen"], self.cfg.s3gen_ref, self.mesh
+                )
+            rest = jax.device_put(
+                {k: v for k, v in self.params.items() if k not in sharded}
+            )
+            self.params = {**sharded, **rest}
+            log.info("tensor-parallel over %d devices (t3%s)", tp,
+                     " + s3gen_ref" if "s3gen" in sharded else "")
         else:
             # one bulk host→HBM transfer (init tensors are built host-side)
             self.params = jax.device_put(self.params)

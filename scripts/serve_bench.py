@@ -35,12 +35,15 @@ async def _one_request(session, url: str, idx: int, overlap: str = "full") -> di
     t0 = time.perf_counter()
     ttfa = None
     n_bytes = 0
-    async with session.get(url, params={
+    params = {
         "text": TEXT,
         "format": "wav",
         "request_id": f"serve-bench-{idx}",
         "chunk_overlap_strategy": overlap,
-    }) as resp:
+    }
+    if os.environ.get("SERVE_BENCH_SLICE"):
+        params["audio_tokens_per_slice"] = os.environ["SERVE_BENCH_SLICE"]
+    async with session.get(url, params=params) as resp:
         assert resp.status == 200, f"status {resp.status}"
         async for chunk in resp.content.iter_chunked(65536):
             if ttfa is None and chunk:
