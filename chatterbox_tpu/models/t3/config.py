@@ -52,6 +52,18 @@ class T3Config:
     # bounds reads to the filled prefix — ops/pallas_attention_v3.py).
     kv_cache_layout: str = "seq"
 
+    def __post_init__(self):
+        # The int8 cache is always seq-major ([L,B,S,Hk,Dh] + scales); the
+        # "paired" layout only exists for the bf16 Pallas kernel. Allowing the
+        # combination would silently misread the cache depth in decode
+        # (ADVICE r2) — reject it loudly instead.
+        if self.kv_cache_layout == "paired" and self.kv_cache_dtype == "int8":
+            raise ValueError(
+                "kv_cache_layout='paired' is incompatible with "
+                "kv_cache_dtype='int8' (the int8 cache is seq-major); "
+                "use layout='seq' for int8."
+            )
+
     # Sequence budget. 160 covers a 150-char chunk even with the 1-token-per-
     # char fallback tokenizer (BPE needs ~60); +SOT/EOT.
     max_text_tokens: int = 160

@@ -245,16 +245,19 @@ def _backbone_decode_step(
     """
     B = h.shape[0]
     Dh = cfg.head_dim
-    # cache seq axis: [L,B,S,Hk,Dh] seq-major / [L,B,Hp,S,128] paired
-    S_alloc = k_cache.shape[3] if cfg.kv_cache_layout == "paired" else k_cache.shape[2]
+    quantized = k_scale is not None
+    paired = cfg.kv_cache_layout == "paired" and not quantized
+    # cache seq axis: [L,B,S,Hk,Dh] seq-major (incl. int8) / [L,B,Hp,S,128]
+    # paired — int8 is ALWAYS seq-major, whatever the configured layout
+    # (T3Config rejects the combination, but key the shape read on the actual
+    # storage, not the config string — ADVICE r2).
+    S_alloc = k_cache.shape[3] if paired else k_cache.shape[2]
     S = s_view if s_view is not None else S_alloc
     cos, sin = rope_frequencies(Dh, cfg.max_seq_len, cfg.rope_theta)
     positions = pos[:, None]  # [B, 1]
     idx = jnp.arange(S)[None, None, None, :]
     cache_valid = (idx >= start[:, None, None, None]) & (idx < pos[:, None, None, None])
     scale = 1.0 / math.sqrt(Dh)
-    quantized = k_scale is not None
-    paired = cfg.kv_cache_layout == "paired" and not quantized
 
     def layer(h, xs):
         kc_s = vc_s = None

@@ -257,11 +257,14 @@ class TTSEngine:
                     engine_cfg = EngineConfig.tiny()
             else:
                 engine_cfg = EngineConfig.full(settings.DTYPE_POLICY)
-        if settings.KV_CACHE_DTYPE != "native":
-            engine_cfg = dataclasses.replace(
-                engine_cfg,
-                t3=engine_cfg.t3.with_(kv_cache_dtype=settings.KV_CACHE_DTYPE),
-            )
+            # the env-level KV dtype override applies only to configs the
+            # engine constructed itself; an explicitly injected engine_cfg is
+            # the caller's contract and is never silently rewritten (ADVICE r2)
+            if settings.KV_CACHE_DTYPE != "native":
+                engine_cfg = dataclasses.replace(
+                    engine_cfg,
+                    t3=engine_cfg.t3.with_(kv_cache_dtype=settings.KV_CACHE_DTYPE),
+                )
         if (
             _pallas_active()
             and engine_cfg.t3.kv_cache_layout == "seq"
@@ -388,8 +391,13 @@ class TTSEngine:
                 # micro-batched (vmapped) variants: first concurrent traffic
                 # otherwise stalls ~10 s per (bucket, batch) combination
                 if self.s3gen_scheduler is not None:
-                    batch_sizes = [b for b in (2, 4, 8, 16)
-                                   if b <= self.s3gen_scheduler.max_batch]
+                    # every power-of-two batch the scheduler's coalescing can
+                    # form (not a hardcoded set — ADVICE r2)
+                    batch_sizes = []
+                    b = 2
+                    while b <= self.s3gen_scheduler.max_batch:
+                        batch_sizes.append(b)
+                        b *= 2
                     for Bv in batch_sizes:
                         def compile_batched(T=T, Bv=Bv):
                             rB = jax.tree.map(
@@ -699,16 +707,101 @@ class TTSEngine:
 
     # --------------------------------------------------------------- voices
     def _default_conditionals(self) -> Conditionals:
+        """The no-voice_id conditionals: the snapshot's baked-in default voice
+        (``conds.pt`` — reference tts_streaming.py:254-258, 399-406) when
+        present; a neutral zero-waveform voice otherwise (random-weight /
+        tiny-model runs have no snapshot)."""
         if "default" not in self.voice_cache:
-            wav24 = jnp.zeros((1, 2 * S3GEN_SR))
-            wav16 = jnp.zeros((1, 2 * S3_SR))
-            lanes, ref = self._jit_cond()(
-                self.params, wav24, jnp.array([2 * S3GEN_SR], jnp.int32),
-                wav16, jnp.array([2 * S3_SR], jnp.int32), jnp.array([2 * S3_SR], jnp.int32),
-                jnp.array([get_tts_config().VOICE_EXAGGERATION_FACTOR], jnp.float32),
-            )
-            self.voice_cache["default"] = Conditionals(lanes, ref)
+            conds = None
+            conds_file = Path(get_settings().MODEL_PATH) / "conds.pt"
+            if conds_file.exists():
+                if self.cfg.s3gen_arch == "ref":
+                    try:
+                        from .loader import load_default_conds
+
+                        conds = self._conds_from_default_file(
+                            load_default_conds(conds_file)
+                        )
+                        log.info("Default voice loaded from %s", conds_file)
+                    except Exception:
+                        log.warning(
+                            "Failed to read %s; using the neutral default voice",
+                            conds_file, exc_info=True,
+                        )
+                else:
+                    log.warning(
+                        "conds.pt found but s3gen_arch='dit' uses its own "
+                        "conditioning format; using the neutral default voice."
+                    )
+            if conds is None:
+                wav24 = jnp.zeros((1, 2 * S3GEN_SR))
+                wav16 = jnp.zeros((1, 2 * S3_SR))
+                lanes, ref = self._jit_cond()(
+                    self.params, wav24, jnp.array([2 * S3GEN_SR], jnp.int32),
+                    wav16, jnp.array([2 * S3_SR], jnp.int32), jnp.array([2 * S3_SR], jnp.int32),
+                    jnp.array([get_tts_config().VOICE_EXAGGERATION_FACTOR], jnp.float32),
+                )
+                conds = Conditionals(lanes, ref)
+            self.voice_cache["default"] = conds
         return self.voice_cache["default"]
+
+    def _conds_from_default_file(self, raw: Dict) -> Conditionals:
+        """Map the loaded ``conds.pt`` fields into engine Conditionals.
+
+        The T3 lanes are built exactly as ``_jit_cond`` builds them for a live
+        reference wav — same ``cond_embeddings`` call, with the stored speaker
+        embedding / prompt tokens / baked-in exaggeration replacing the
+        computed ones; the uncond lane zeroes speaker + exaggeration. The gen
+        dict maps 1:1 onto the ``s3gen_ref_embed_ref`` contract (reference
+        embed_ref output keys, tts_streaming.py:366)."""
+        t3c = self.cfg.t3
+        rc = self.cfg.s3gen_ref
+        P = t3c.speech_cond_prompt_len
+        toks = raw["prompt_speech_tokens"][:, :P]
+        prompt = np.zeros((1, P), np.int32)
+        prompt[0, : toks.shape[1]] = toks[0]
+        prompt_len = np.array([toks.shape[1]], np.int32)
+        exag = np.array([raw["emotion_adv"]], np.float32)
+
+        if "cond_from_raw" not in self._jit_cache:
+
+            def build(params, spk, prompt, plen, ex):
+                cond = cond_embeddings(params, t3c, spk, prompt, ex, plen)
+                uncond = cond_embeddings(
+                    params, t3c, jnp.zeros_like(spk), prompt, jnp.zeros_like(ex), plen
+                )
+                return jnp.concatenate([cond, uncond], axis=0)
+
+            self._jit_cache["cond_from_raw"] = jax.jit(build)
+        lanes = self._jit_cache["cond_from_raw"](
+            self.params["t3"], jnp.asarray(raw["speaker_emb"]), jnp.asarray(prompt),
+            jnp.asarray(prompt_len), jnp.asarray(exag),
+        )
+
+        Pg, Pm, up = rc.max_prompt_tokens, rc.max_prompt_mel, rc.flow.up_stride
+        gtok = np.zeros((1, Pg), np.int32)
+        n_tok = min(raw["prompt_token"].shape[1], raw["prompt_token_len"], Pg)
+        gtok[0, :n_tok] = raw["prompt_token"][0, :n_tok]
+        mel = np.zeros((1, Pm, rc.n_mels), np.float32)
+        n_mel = min(raw["prompt_feat"].shape[1], raw["prompt_feat_len"], Pm)
+        mel[0, :n_mel] = raw["prompt_feat"][0, :n_mel]
+        # reference alignment rule (s3gen_ref_embed_ref): mel frames == up_stride × tokens
+        n_tok = min(n_tok, n_mel // up)
+        n_mel = n_tok * up
+        mel[0, n_mel:] = 0.0
+        # dtypes must match s3gen_ref_embed_ref's outputs exactly (the S3Gen
+        # micro-batcher stacks ref dicts across voices — a dtype mismatch
+        # would silently promote and recompile): spk_emb follows the params
+        # dtype, prompt_mel stays float32.
+        param_dtype = jax.tree.leaves(self.params["s3gen"])[0].dtype
+        ref = {
+            "spk_emb": jnp.asarray(raw["embedding"], param_dtype),
+            "prompt_tokens": jnp.asarray(gtok),
+            "prompt_len": jnp.asarray([n_tok], jnp.int32),
+            "prompt_mel": jnp.asarray(mel),
+            "prompt_mel_len": jnp.asarray([n_mel], jnp.int32),
+        }
+        return Conditionals(lanes, ref)
 
     def prepare_conditionals(self, wav_fpath: str) -> None:
         """Compute and cache voice conditioning from a reference wav
@@ -719,6 +812,15 @@ class TTSEngine:
         # static-size pads (one compiled graph for all voices)
         w24 = np.zeros((1, self.DEC_COND_LEN), np.float32)
         w24[0, : len(wav24)] = wav24
+        # HiFiGAN mel parity for sub-10 s prompts (ADVICE r2): the reference
+        # extractor reflect-pads the TRUE audio end by (n_fft-hop)/2 = 720
+        # samples, while the static buffer would supply zeros there — the
+        # last valid mel frame's window reads ≤720 samples past the end.
+        # Write the reflection of the valid tail into the pad region so the
+        # padded buffer reproduces the unpadded extractor exactly.
+        L24, tail = len(wav24), min(720, self.DEC_COND_LEN - len(wav24))
+        if tail > 0 and L24 > tail + 1:
+            w24[0, L24 : L24 + tail] = wav24[L24 - 2 : L24 - 2 - tail : -1]
         w16 = np.zeros((1, self.DEC16_COND_LEN), np.float32)
         w16[0, : len(wav16)] = wav16
         lanes, ref = self._jit_cond()(

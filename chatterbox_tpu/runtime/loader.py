@@ -159,6 +159,50 @@ def convert_voice_encoder(
     return params
 
 
+def load_default_conds(path: Path) -> Optional[Dict]:
+    """Read ``conds.pt`` — the snapshot's baked-in default voice — without torch.
+
+    The reference facade loads this file and uses it for every request that
+    carries no voice_id (/root/reference/src/tts_streaming.py:254-258,
+    399-406). Format: ``torch.save({"t3": T3Cond.__dict__, "gen": {...}})``
+    where T3Cond holds ``speaker_emb`` [1, 256], ``cond_prompt_speech_tokens``
+    [1, ≤150] and ``emotion_adv`` [1, 1, 1], and ``gen`` is the
+    ``s3gen.embed_ref`` dict (``prompt_token``/``prompt_token_len``/
+    ``prompt_feat``/``prompt_feat_len``/``embedding``).
+
+    Returns normalized numpy fields, or None when the file is absent. Raises
+    on malformed content (callers fall back to the neutral default voice).
+    """
+    if not path.exists():
+        return None
+    from .torch_pickle import load_torch_archive
+
+    raw = load_torch_archive(path)
+    t3 = raw["t3"]
+    gen = raw["gen"]
+    tokens = np.atleast_2d(np.asarray(t3["cond_prompt_speech_tokens"])).astype(np.int32)
+    feat = np.asarray(gen["prompt_feat"], np.float32)
+    if feat.ndim == 2:
+        feat = feat[None]
+    feat_len = gen.get("prompt_feat_len")
+    gtok = np.atleast_2d(np.asarray(gen["prompt_token"])).astype(np.int32)
+    gtok_len = gen.get("prompt_token_len")
+    return {
+        "speaker_emb": np.atleast_2d(np.asarray(t3["speaker_emb"], np.float32)),
+        "prompt_speech_tokens": tokens,
+        "emotion_adv": float(np.asarray(t3.get("emotion_adv", 0.5)).reshape(-1)[0]),
+        "prompt_token": gtok,
+        "prompt_token_len": int(
+            np.asarray(gtok_len).reshape(-1)[0] if gtok_len is not None else gtok.shape[1]
+        ),
+        "prompt_feat": feat,
+        "prompt_feat_len": int(
+            np.asarray(feat_len).reshape(-1)[0] if feat_len is not None else feat.shape[1]
+        ),
+        "embedding": np.atleast_2d(np.asarray(gen["embedding"], np.float32)),
+    }
+
+
 def load_reference_checkpoint(model_dir: Path, engine_cfg, dtype) -> Optional[Dict]:
     """Load what can be loaded; random-init the rest. Returns the params dict
     or None if nothing usable was found."""
