@@ -41,11 +41,20 @@ def _load_safetensors(path: Path) -> Dict[str, np.ndarray]:
     return load_file(str(path))
 
 
-def _assign(dst: Dict, path: list, value: np.ndarray, dtype, report: list) -> None:
+def _assign(
+    dst: Dict, path: list, value: np.ndarray, dtype, report: list,
+    row_prefix: bool = False,
+) -> None:
     node = dst
     for k in path[:-1]:
         node = node[k]
     leaf = node[path[-1]]
+    if row_prefix and value.shape[1:] == leaf.shape[1:] and value.shape[0] >= leaf.shape[0]:
+        # checkpoint table longer than our budget → take the row prefix
+        # (learned position tables: the checkpoint covers training budgets of
+        # 2048 text / 4096 speech positions; serving never indexes past our
+        # smaller ones — reference decode cap tts_streaming.py:423)
+        value = value[: leaf.shape[0]]
     if tuple(leaf.shape) != tuple(value.shape):
         report.append(f"shape mismatch at {'/'.join(map(str, path))}: {leaf.shape} vs {value.shape}")
         return
@@ -53,13 +62,15 @@ def _assign(dst: Dict, path: list, value: np.ndarray, dtype, report: list) -> No
 
 
 def convert_t3(
-    raw: Dict[str, np.ndarray], params: Dict, dtype, used: Optional[set] = None
+    raw: Dict[str, np.ndarray], params: Dict, dtype,
+    used: Optional[set] = None, report_out: Optional[list] = None,
 ) -> Dict:
     """Map HF-Llama-style T3 tensors into the stacked-layer pytree.
 
-    ``used`` (optional set) collects every checkpoint key consumed, so tests
-    can assert nothing silently drifts out of the mapping."""
-    report: list = []
+    ``used`` (optional set) collects every checkpoint key consumed and
+    ``report_out`` (optional list) the shape-mismatch reports, so tests can
+    assert nothing silently drifts out of the mapping."""
+    report: list = [] if report_out is None else report_out
     if used is None:
         used = set()
     L = params["backbone"]["layers"]["wq"].shape[0]
@@ -118,7 +129,8 @@ def convert_t3(
                 v = raw[candidate]
                 if v.ndim == 2 and path[-1] in ("w",):
                     v = v.T
-                _assign(params, list(path), v, dtype, report)
+                _assign(params, list(path), v, dtype, report,
+                        row_prefix=path[-1] in ("text_pos", "speech_pos"))
                 break
     if report:
         log.warning("T3 conversion: %d tensors left at init:\n  %s", len(report), "\n  ".join(report[:20]))
@@ -126,9 +138,10 @@ def convert_t3(
 
 
 def convert_voice_encoder(
-    raw: Dict[str, np.ndarray], params: Dict, dtype, used: Optional[set] = None
+    raw: Dict[str, np.ndarray], params: Dict, dtype,
+    used: Optional[set] = None, report_out: Optional[list] = None,
 ) -> Dict:
-    report: list = []
+    report: list = [] if report_out is None else report_out
     if used is None:
         used = set()
     for i, layer in enumerate(params["lstm"]):
@@ -226,15 +239,21 @@ def load_reference_checkpoint(model_dir: Path, engine_cfg, dtype) -> Optional[Di
     else:
         params["s3gen"] = init_s3gen_params(k2, engine_cfg.s3gen, dtype)
         params["s3tok"] = init_s3tok_params(k3, engine_cfg.s3tok, dtype)
+    from .manifest import log_manifest_diff
+
     found = False
     t3_file = model_dir / "t3_cfg.safetensors"
     if t3_file.exists():
-        params["t3"] = convert_t3(_load_safetensors(t3_file), params["t3"], dtype)
+        raw = _load_safetensors(t3_file)
+        log_manifest_diff("t3_cfg.safetensors", {k: v.shape for k, v in raw.items()})
+        params["t3"] = convert_t3(raw, params["t3"], dtype)
         found = True
         log.info("Loaded T3 weights from %s", t3_file)
     ve_file = model_dir / "ve.safetensors"
     if ve_file.exists():
-        params["ve"] = convert_voice_encoder(_load_safetensors(ve_file), params["ve"], dtype)
+        raw = _load_safetensors(ve_file)
+        log_manifest_diff("ve.safetensors", {k: v.shape for k, v in raw.items()})
+        params["ve"] = convert_voice_encoder(raw, params["ve"], dtype)
         found = True
         log.info("Loaded VoiceEncoder weights from %s", ve_file)
     s3_file = model_dir / "s3gen.safetensors"
@@ -242,9 +261,9 @@ def load_reference_checkpoint(model_dir: Path, engine_cfg, dtype) -> Optional[Di
         if arch == "ref":
             from ..models.s3gen_ref.convert import convert_s3gen_ref
 
-            result = convert_s3gen_ref(
-                _load_safetensors(s3_file), params["s3gen"], engine_cfg.s3gen_ref
-            )
+            raw = _load_safetensors(s3_file)
+            log_manifest_diff("s3gen.safetensors", {k: v.shape for k, v in raw.items()})
+            result = convert_s3gen_ref(raw, params["s3gen"], engine_cfg.s3gen_ref)
             params["s3gen"] = result["params"]  # converter preserves leaf dtypes
             n_bad = len(result["mismatched"]) + len(result["missing"]) + len(result["unused"])
             if n_bad:

@@ -44,6 +44,11 @@ def main() -> None:
     args = ap.parse_args()
 
     os.environ.setdefault("CHATTERBOX_S3GEN_ARCH", "ref")
+    # Parity must measure CONVERSION fidelity only: pin the KV cache to the
+    # native dtype so int8 quantization noise (the serving default,
+    # gate-tested in tests/test_int8_kv.py) never mixes into the MCD number.
+    os.environ["CHATTERBOX_KV"] = "native"
+    os.environ.setdefault("KV_CACHE_DTYPE", "native")
 
     import numpy as np
 
