@@ -92,5 +92,5 @@ def causal_attention(
 # NOTE: single-step decode attention lives with the model (the T3 decode step
 # fuses the cache scores with the current token's self term and left-pad
 # masking — see models/t3/model.py) and as a Pallas kernel in
-# ops/pallas_attention.py. No generic helper is exported to avoid a second,
-# subtly different implementation.
+# ops/pallas_attention_v3.py. No generic helper is exported to avoid a
+# second, subtly different implementation.

@@ -139,6 +139,15 @@ class EngineConfig:
                 ref_cfg = dataclasses.replace(
                     ref_cfg, max_prompt_tokens=ptoks, max_prompt_mel=2 * ptoks
                 )
+            # CHATTERBOX_CFM_STEPS trims the CFM Euler step count (reference:
+            # 10). The estimator scan is ~72% of the S3Gen chunk, near-linear
+            # in steps; quality delta quantified by scripts/quality_study.py.
+            # Deliberate TPU-serving knob, off (=10) by default.
+            steps = int(os.environ.get("CHATTERBOX_CFM_STEPS", "0") or 0)
+            if 0 < steps != ref_cfg.flow.n_timesteps:
+                ref_cfg = dataclasses.replace(
+                    ref_cfg, flow=dataclasses.replace(ref_cfg.flow, n_timesteps=steps)
+                )
         # int8 KV cache is the serving default: with the scale-factored
         # attention (scales applied to scores/probs, cache fed to the matmul
         # as int8) the 35-token batched slice measures 500 ms vs 679 ms bf16
@@ -165,7 +174,7 @@ def _bucket(n: int, step: int, cap: int) -> int:
 
 
 def _pallas_active() -> bool:
-    from ..ops.pallas_attention import pallas_enabled
+    from ..ops.pallas_attention_v3 import pallas_enabled
 
     return pallas_enabled() and jax.default_backend() == "tpu"
 
@@ -288,6 +297,11 @@ class TTSEngine:
         self._progress = ""
         self._error: Optional[str] = None
         self.tts_semaphore = asyncio.Semaphore(settings.CONCURRENT_REQUESTS_PER_WORKER)
+        # "full"-overlap re-synthesis window in tokens (0 = reference
+        # behavior: re-synthesize the whole accumulated stream every slice)
+        self.overlap_window = int(
+            os.environ.get("CHATTERBOX_OVERLAP_WINDOW_TOKENS", "0") or 0
+        )
         self._jit_cache: Dict = {}
         self.decoder = None  # BatchedT3Decoder when MAX_DECODE_SLOTS > 1
         self.s3gen_scheduler = None  # S3GenScheduler (micro-batching), same gate
@@ -417,6 +431,8 @@ class TTSEngine:
                         await asyncio.to_thread(compile_batched)
                         compiled += 1
             if self.decoder is not None:
+                from .scheduler import LOOKAHEAD_STEPS
+
                 cache_shapes = shape_of(self.decoder.cache)
                 state_shapes = shape_of(self.decoder.state)
                 if t3c.kv_cache_layout == "paired":
@@ -428,15 +444,17 @@ class TTSEngine:
                     )
                 else:
                     views = [None]
+                lengths = sorted({slice_size} | set(LOOKAHEAD_STEPS))
                 for s_view in views:
-                    def compile_view(s_view=s_view):
-                        t3_decode_slice.lower(
-                            params_shapes["t3"], t3c, cache_shapes, state_shapes,
-                            slice_size, s_view,
-                        ).compile()
+                    for n in lengths:
+                        def compile_view(s_view=s_view, n=n):
+                            t3_decode_slice.lower(
+                                params_shapes["t3"], t3c, cache_shapes, state_shapes,
+                                n, s_view,
+                            ).compile()
 
-                    await asyncio.to_thread(compile_view)
-                    compiled += 1
+                        await asyncio.to_thread(compile_view)
+                        compiled += 1
             else:
                 # single-slot serving path: warm the per-request decode views
                 # for the smallest text bucket (the common case)
@@ -494,6 +512,7 @@ class TTSEngine:
         async for _ in self.decoder.decode_chunk(
             np.asarray(conds.t3_cond_lanes), text, 4, 0.8, 0.95, 0.5, 1.2,
             max_new_tokens=self.decoder.slice_size,
+            lookahead=_lookahead_size(self.decoder.slice_size),
         ):
             pass
 
@@ -1104,12 +1123,15 @@ class TTSEngine:
             cancelled, _ = await race_cancellation(token_q.put(item), token)
             return not cancelled
 
-        # first group goes out early (look-ahead) so S3Gen starts sooner
+        # first group goes out early (look-ahead) so S3Gen starts sooner; for
+        # the request's FIRST chunk the scheduler also runs a short batch
+        # slice so those tokens exist before a full slice completes (TTFA)
         target = min(_lookahead_size(slice_size), slice_size)
         async for row in self.decoder.decode_chunk(
             np.asarray(conds.t3_cond_lanes), lanes, text_len, temperature,
             0.95, cfg_weight, 1.2, self.cfg.max_new_tokens, token,
             seed=_stable_seed(request_id) + chunk_idx,
+            lookahead=target if chunk_idx == 0 else 0,
         ):
             buf = np.concatenate([buf, row])
             while len(buf) >= target:
@@ -1160,6 +1182,7 @@ class TTSEngine:
 
         acc_tokens = np.zeros((0,), np.int32)
         prev_samples = 0
+        src_drop = 0
         last_chunk_idx = -1
         source_cache = np.zeros((0,), np.float32)
 
@@ -1181,26 +1204,39 @@ class TTSEngine:
                 from .metrics import metrics
 
                 metrics.record_tokens(len(row))
+                t_prep0 = time.perf_counter()
                 if item["chunk_idx"] != last_chunk_idx:
                     acc_tokens = np.zeros((0,), np.int32)
-                    prev_samples = 0
+                    prev_samples = 0   # absolute emitted samples (filtered-token space)
+                    src_drop = 0       # window-drop the source cache aligns to
                     source_cache = np.zeros((0,), np.float32)
                     last_chunk_idx = item["chunk_idx"]
                     chunk_key = jax.random.fold_in(base_key, item["chunk_idx"])
 
-                if overlap == "full":
-                    acc_tokens = np.concatenate([acc_tokens, row])
-                    infer_tokens = acc_tokens
-                else:
-                    infer_tokens = row
-
+                new_toks = row
                 if item["is_last_slice"]:
                     # reference quirk kept deliberately: speech EOS uses
                     # hp.stop_text_token (=0, a *valid* code) — tts_streaming.py:606,662-664
-                    infer_tokens = np.concatenate(
-                        [infer_tokens, [self.cfg.t3.stop_text_token]]
+                    new_toks = np.concatenate(
+                        [new_toks, [self.cfg.t3.stop_text_token]]
                     )
-                infer_tokens = infer_tokens[infer_tokens < s3c.vocab_size]
+                new_toks = new_toks[new_toks < s3c.vocab_size]
+                if overlap == "full":
+                    acc_tokens = np.concatenate([acc_tokens, new_toks])
+                    # Bounded re-synthesis window (CHATTERBOX_OVERLAP_WINDOW_
+                    # TOKENS): the reference re-synthesizes the FULL
+                    # accumulated stream every slice (quadratic —
+                    # tts_streaming.py:655-659); a window keeps only the last
+                    # W tokens of left context (the 10 s voice prompt is
+                    # always present), bounding per-slice cost. 0 = reference
+                    # behavior. Deliberate deviation when set; quality delta
+                    # quantified by scripts/quality_study.py.
+                    W = self.overlap_window
+                    drop = max(0, acc_tokens.size - W) if W else 0
+                    infer_tokens = acc_tokens[drop:]
+                else:
+                    infer_tokens = new_toks
+                    drop = 0
                 if infer_tokens.size == 0:
                     continue
                 if infer_tokens.size < 3:
@@ -1210,10 +1246,17 @@ class TTSEngine:
                 padded = np.full((1, T), s3c.vocab_size, np.int32)
                 padded[0, : infer_tokens.size] = infer_tokens
                 src = np.zeros((1, T * spt), np.float32)
-                cache_len = min(len(source_cache), T * spt) if overlap == "full" else 0
-                if cache_len:
-                    src[0, :cache_len] = source_cache[:cache_len]
+                cache_len = 0
+                if overlap == "full":
+                    # source cache aligns to the window start of the slice it
+                    # was produced by; skip samples the window dropped since
+                    off = (drop - src_drop) * spt
+                    sc = source_cache[off:] if off < source_cache.size else source_cache[:0]
+                    cache_len = min(sc.size, T * spt)
+                    if cache_len:
+                        src[0, :cache_len] = sc[:cache_len]
 
+                metrics.record_stage("s3gen_prep_host", time.perf_counter() - t_prep0)
                 if self.s3gen_scheduler is not None:
                     wav, new_src = await self.s3gen_scheduler.synthesize(
                         padded[0], infer_tokens.size, conds.gen_ref,
@@ -1229,13 +1272,17 @@ class TTSEngine:
                         )
                         return np.asarray(w[0]), np.asarray(ns[0])
 
+                    t_dev0 = time.perf_counter()
                     wav, new_src = await asyncio.to_thread(run)
+                    metrics.record_stage("s3gen_single_device", time.perf_counter() - t_dev0)
+                t_host0 = time.perf_counter()
                 valid = infer_tokens.size * spt
                 audio = wav[:valid]
                 if overlap == "full":
                     source_cache = new_src[:valid]
-                    audio = audio[prev_samples:]
-                    prev_samples = valid
+                    src_drop = drop
+                    audio = audio[prev_samples - drop * spt:]
+                    prev_samples = drop * spt + valid
 
                 if item["is_first_chunk"] and item["is_first_slice"]:
                     audio = trim_leading(audio, lead_trim_ms, self.sr)
@@ -1247,7 +1294,9 @@ class TTSEngine:
                     request_id, item["slice_idx"], item["chunk_idx"] + 1, n_chunks,
                     infer_tokens.size, len(audio) / self.sr, time.time() - t_start,
                 )
-                if not await emit(stitcher.push(audio)):
+                stitched = stitcher.push(audio)
+                metrics.record_stage("s3gen_stitch_host", time.perf_counter() - t_host0)
+                if not await emit(stitched):
                     return
         except Exception as exc:
             log.exception("[%s][S3GEN] producer error", request_id)

@@ -43,6 +43,11 @@ class Metrics:
         self.audio_seconds = 0.0
         self.ttfa = _Percentiles()
         self.request_wall = _Percentiles()
+        # pipeline-stage accounting (host-vs-device breakdown for serve_bench;
+        # VERDICT r2 item 1): name → (accumulated seconds, call count, items)
+        self.stage_time: Dict[str, float] = {}
+        self.stage_count: Dict[str, int] = {}
+        self.stage_items: Dict[str, int] = {}
 
     def record_request(self, ttfa_s: float | None, wall_s: float, failed: bool, cancelled: bool) -> None:
         with self._lock:
@@ -60,6 +65,15 @@ class Metrics:
             self.tokens_generated += n
             self.audio_seconds += n / 25.0
 
+    def record_stage(self, name: str, dt_s: float, items: int = 1) -> None:
+        """Accumulate wall time spent in a pipeline stage. Device stages
+        ("*_device") time the blocking dispatch+fetch (device compute +
+        tunnel); host stages time numpy/stitch/PCM work."""
+        with self._lock:
+            self.stage_time[name] = self.stage_time.get(name, 0.0) + dt_s
+            self.stage_count[name] = self.stage_count.get(name, 0) + 1
+            self.stage_items[name] = self.stage_items.get(name, 0) + items
+
     def snapshot(self) -> Dict:
         with self._lock:
             return {
@@ -73,6 +87,14 @@ class Metrics:
                 "audio_seconds": round(self.audio_seconds, 2),
                 "ttfa_s": self.ttfa.snapshot(),
                 "request_wall_s": self.request_wall.snapshot(),
+                "stages": {
+                    name: {
+                        "time_s": round(self.stage_time[name], 3),
+                        "count": self.stage_count.get(name, 0),
+                        "items": self.stage_items.get(name, 0),
+                    }
+                    for name in sorted(self.stage_time)
+                },
             }
 
 

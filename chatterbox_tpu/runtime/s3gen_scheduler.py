@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import asyncio
 import dataclasses
+import time as _time
 from functools import partial
 from typing import Dict, List, Optional, Tuple
 
@@ -57,6 +58,24 @@ class S3GenScheduler:
         self._task: Optional[asyncio.Task] = None
         self._loop: Optional[asyncio.AbstractEventLoop] = None
         self._jit = {}
+        # stacked-conditioning cache: coalesced batches overwhelmingly share
+        # the same voice combination (usually all-default), so the per-batch
+        # jax.tree stack of B ref dicts (5 device ops + dispatches per batch)
+        # is memoized on the identity of the member refs
+        self._ref_cache: Dict[tuple, Dict] = {}
+
+    def _stacked_ref(self, jobs: List[_Job]) -> Dict:
+        key = tuple(id(j.ref) for j in jobs)
+        hit = self._ref_cache.get(key)
+        if hit is not None:
+            return hit[1]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *[j.ref for j in jobs])
+        if len(self._ref_cache) >= 64:  # bounded: evict oldest insertion
+            self._ref_cache.pop(next(iter(self._ref_cache)))
+        # store the member refs too: pinning them makes the id()-tuple key
+        # stable (a GC'd ref could otherwise alias a reused id)
+        self._ref_cache[key] = ([j.ref for j in jobs], stacked)
+        return stacked
 
     def _infer_fn(self, T: int, B: int):
         jit_key = (T, B)
@@ -129,20 +148,30 @@ class S3GenScheduler:
             B, T = len(jobs), bucket
 
             def run_batch():
+                from .metrics import metrics
+
                 # leading vmap axis: each element keeps its own [1, ...] batch
+                t0 = _time.perf_counter()
                 tokens = jnp.asarray(np.stack([j.tokens[None] for j in jobs]))
                 tlen = jnp.asarray([[j.token_len] for j in jobs], jnp.int32)
                 src = jnp.asarray(np.stack([j.source[None] for j in jobs]))
                 clen = jnp.asarray([[j.cache_len] for j in jobs], jnp.int32)
-                ref = jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *[j.ref for j in jobs])
+                ref = self._stacked_ref(jobs)
                 keys = jnp.stack([j.key for j in jobs])
+                metrics.record_stage("s3gen_stack_host", _time.perf_counter() - t0)
                 wav, new_src = self._infer_fn(T, B)(
                     self.params, tokens, tlen, ref, src, clen, keys
                 )
                 return np.asarray(wav), np.asarray(new_src)
 
+            from .metrics import metrics
+
+            t0 = _time.perf_counter()
             try:
                 wav, new_src = await asyncio.to_thread(run_batch)
+                metrics.record_stage(
+                    "s3gen_device", _time.perf_counter() - t0, items=len(jobs)
+                )
                 for i, job in enumerate(jobs):
                     if not job.future.done():
                         job.future.set_result((wav[i, 0], new_src[i, 0]))

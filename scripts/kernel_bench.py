@@ -27,20 +27,19 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from chatterbox_tpu.ops.pallas_attention import pallas_decode_attention
-    from chatterbox_tpu.ops.pallas_attention_v2 import pallas_decode_attention_hmajor
     from chatterbox_tpu.ops.pallas_attention_v3 import (
         pack_cache_paired,
         paired_decode_attention,
     )
+
+    # v1/v2 retired to docs/kernel_studies.md (r3); their numbers are recorded
+    # there and in BENCH_NOTES.md.
 
     B, H, Dh, S = 2 * args.slots, 16, 64, args.seq
     ks = jax.random.split(jax.random.PRNGKey(0), 5)
     q0 = jax.random.normal(ks[0], (B, H, Dh), jnp.bfloat16)
     kc_sh = jax.random.normal(ks[1], (B, S, H, Dh), jnp.bfloat16)   # seq-major
     vc_sh = jax.random.normal(ks[2], (B, S, H, Dh), jnp.bfloat16)
-    kc_hm = jnp.swapaxes(kc_sh, 1, 2)                               # head-major
-    vc_hm = jnp.swapaxes(vc_sh, 1, 2)
     kn = jax.random.normal(ks[3], (B, H, Dh), jnp.bfloat16)
     vn = jax.random.normal(ks[4], (B, H, Dh), jnp.bfloat16)
     start = jnp.zeros((B,), jnp.int32)
@@ -67,11 +66,6 @@ def main() -> None:
 
     cases = [
         ("xla fused (seq-major)", ref_xla),
-        ("pallas v1 (seq-major)", lambda q: pallas_decode_attention(q, kc_sh, vc_sh, kn, vn, start, pos)),
-        ("pallas v2 (head-major, b=S)", functools.partial(
-            lambda q, bs: pallas_decode_attention_hmajor(q, kc_hm, vc_hm, kn, vn, start, pos, block_s=bs), bs=S)),
-        ("pallas v2 (head-major, b=256)", functools.partial(
-            lambda q, bs: pallas_decode_attention_hmajor(q, kc_hm, vc_hm, kn, vn, start, pos, block_s=bs), bs=256)),
     ]
     kc_pr = pack_cache_paired(kc_sh)
     vc_pr = pack_cache_paired(vc_sh)

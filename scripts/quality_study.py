@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Quality study for the TPU-serving throughput knobs.
+
+Synthesizes the same fixed-seed request under the default configuration and
+under each knob variant, then reports MCD / LSD (audio/quality.py) of each
+variant against the default output — the quality-delta quantification
+VERDICT r2 item 3 asks for next to any claimed streams-per-chip gain.
+
+Variants studied:
+  * CHATTERBOX_CFM_STEPS      (10 → 8, 6): fewer CFM Euler steps
+  * CHATTERBOX_OVERLAP_WINDOW_TOKENS (0 → 105, 70): bounded "full"-overlap
+    re-synthesis window
+  * CHATTERBOX_KV             (int8 → native): KV-cache dtype (token paths
+    may diverge — reported for completeness, see tests/test_int8_kv.py for
+    the well-posed gate)
+
+Usage:
+    python scripts/quality_study.py [--tiny] [--text "..."] [--out study.json]
+
+Each variant runs in a SUBPROCESS (env knobs are read at engine build time,
+and JAX state is per-process). With --tiny this runs on CPU in ~2 min;
+without, on the local accelerator with the full-size model (random weights
+unless MODEL_PATH has a checkpoint).
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TEXT = (
+    "The quick brown fox jumps over the lazy dog while the orchestra plays "
+    "a long and winding melody."
+)
+
+VARIANTS = [
+    ("default", {}),
+    ("cfm_steps_8", {"CHATTERBOX_CFM_STEPS": "8"}),
+    ("cfm_steps_6", {"CHATTERBOX_CFM_STEPS": "6"}),
+    ("overlap_window_105", {"CHATTERBOX_OVERLAP_WINDOW_TOKENS": "105"}),
+    ("overlap_window_70", {"CHATTERBOX_OVERLAP_WINDOW_TOKENS": "70"}),
+    ("kv_native", {"CHATTERBOX_KV": "native"}),
+]
+
+_SYNTH_CODE = r"""
+import asyncio, os, sys
+sys.path.insert(0, os.environ["REPO_ROOT"])
+if os.environ.get("CHATTERBOX_FORCE_CPU") == "1":
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+from chatterbox_tpu.runtime import CancellationToken, TTSEngine
+from chatterbox_tpu.runtime.engine import ensure_backend_initialized
+
+ensure_backend_initialized()
+engine = TTSEngine()
+
+async def synth():
+    await engine.ainit()
+    out = b""
+    async for chunk in engine.stream(
+        text=os.environ["STUDY_TEXT"], output_format="wav", voice_id=None,
+        cfg_guidance_weight=0.5, synthesis_temperature=0.8,
+        text_processing_chunk_size=150, audio_tokens_per_slice=35,
+        remove_trailing_milliseconds=0, remove_leading_milliseconds=0,
+        chunk_overlap_strategy="full", crossfade_duration_milliseconds=30,
+        request_id="quality-study", cancellation_token=CancellationToken(),
+    ):
+        out += chunk
+    return out
+
+data = asyncio.run(synth())
+with open(os.environ["STUDY_OUT"], "wb") as f:
+    f.write(data)
+"""
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--text", default=TEXT)
+    ap.add_argument("--out", default=None, help="write the JSON report here too")
+    args = ap.parse_args()
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tmp = tempfile.mkdtemp(prefix="quality_study_")
+    wavs = {}
+    for name, env_extra in VARIANTS:
+        out_wav = os.path.join(tmp, f"{name}.wav")
+        env = dict(os.environ)
+        env.update(env_extra)
+        env.update(
+            REPO_ROOT=repo_root, STUDY_TEXT=args.text, STUDY_OUT=out_wav,
+            CHATTERBOX_S3GEN_ARCH="ref", CHATTERBOX_PRECOMPILE="0",
+        )
+        if args.tiny:
+            env.update(CHATTERBOX_TINY_MODEL="1", CHATTERBOX_FORCE_CPU="1")
+        sys.stderr.write(f"synthesizing variant {name}...\n")
+        proc = subprocess.run([sys.executable, "-c", _SYNTH_CODE], env=env,
+                              capture_output=True, text=True)
+        if proc.returncode != 0:
+            sys.stderr.write(f"{name} FAILED:\n{proc.stderr[-2000:]}\n")
+            continue
+        wavs[name] = out_wav
+
+    from chatterbox_tpu.audio.pcm import read_wav
+    from chatterbox_tpu.audio.quality import log_spectral_distance, mel_cepstral_distortion
+
+    if "default" not in wavs:
+        sys.stderr.write("default variant failed; no report\n")
+        sys.exit(1)
+    ref, sr = read_wav(wavs["default"])
+    report = {"text_chars": len(args.text), "tiny": args.tiny,
+              "default_audio_s": round(len(ref) / sr, 2), "variants": {}}
+    for name, path in wavs.items():
+        if name == "default":
+            continue
+        hyp, _ = read_wav(path)
+        report["variants"][name] = {
+            "mcd_db": round(mel_cepstral_distortion(ref, hyp, sr), 3),
+            "lsd_db": round(log_spectral_distance(ref, hyp, sr), 3),
+            "audio_s": round(len(hyp) / sr, 2),
+        }
+    print(json.dumps(report, indent=1))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -92,13 +92,32 @@ async def run(args) -> None:
                 f"warmup wave {wave}: {time.perf_counter()-t0:.1f}s wall, "
                 f"{sum(x['audio_s'] for x in r):.1f}s audio\n"
             )
+        async def stage_snapshot() -> dict:
+            async with session.get(
+                f"http://127.0.0.1:{port}/system-status"
+            ) as resp:
+                data = await resp.json()
+            return data.get("metrics", {}).get("stages", {})
+
+        results_out = []
         for overlap in ("full", "zero"):
+            stages0 = await stage_snapshot()
             t0 = time.perf_counter()
             results = await asyncio.gather(*[
                 _one_request(session, url, 1000 + i, overlap)
                 for i in range(args.streams)
             ])
             wall = time.perf_counter() - t0
+            stages1 = await stage_snapshot()
+            # host-vs-device breakdown (VERDICT r2 item 1): stage seconds
+            # accumulated by the engine during this wave. Device stages time
+            # blocking dispatch+fetch; host stages time numpy/stitch work.
+            breakdown = {}
+            for name, s1 in stages1.items():
+                dt = round(s1["time_s"] - stages0.get(name, {}).get("time_s", 0.0), 2)
+                dn = s1["count"] - stages0.get(name, {}).get("count", 0)
+                if dn:
+                    breakdown[name] = {"time_s": dt, "count": dn}
             ttfas = sorted(r["ttfa"] for r in results)
             rtfs = sorted(r["wall"] / max(r["audio_s"], 1e-6) for r in results)
             out = {
@@ -111,8 +130,24 @@ async def run(args) -> None:
                 "rtf_max": round(rtfs[-1], 4),
                 "audio_s_total": round(sum(r["audio_s"] for r in results), 1),
                 "wall_s": round(wall, 1),
+                "stages": breakdown,
             }
+            results_out.append(out)
             print(json.dumps(out), flush=True)
+        # persist for bench.py to embed (VERDICT r2 item 8: the driver-visible
+        # number must carry the latest measured result, not stay analytic)
+        out_path = os.environ.get(
+            "SERVE_BENCH_OUT",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "serve_bench_results.json"),
+        )
+        if out_path and out_path != "0":
+            with open(out_path, "w") as f:
+                json.dump(
+                    {"measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                     "tiny": bool(args.tiny), "results": results_out},
+                    f, indent=1,
+                )
     await runner.cleanup()
 
 

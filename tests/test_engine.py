@@ -66,6 +66,21 @@ def test_stream_wav_end_to_end(env, engine_cfg):
     assert len(audio) > 0.2 * engine.sr
 
 
+def test_overlap_window_conserves_samples(env, engine_cfg, monkeypatch):
+    """CHATTERBOX_OVERLAP_WINDOW_TOKENS bounds the full-overlap re-synthesis
+    window. T3 tokens are unaffected, so the emitted sample COUNT must be
+    identical to the unbounded run (the window changes context, not length)."""
+    engine = _make_engine(engine_cfg)
+    base = asyncio.run(_collect_stream(engine, request_id="win-req"))
+
+    monkeypatch.setenv("CHATTERBOX_OVERLAP_WINDOW_TOKENS", "16")
+    engine2 = _make_engine(engine_cfg)
+    assert engine2.overlap_window == 16
+    windowed = asyncio.run(_collect_stream(engine2, request_id="win-req"))
+    assert len(windowed) == len(base)
+    assert windowed[:4] == b"RIFF"
+
+
 def test_stream_zero_overlap_strategy(env, engine_cfg):
     engine = _make_engine(engine_cfg)
     data = asyncio.run(

@@ -138,6 +138,32 @@ def test_queued_waiter_cancelled_while_slots_busy(setup):
     assert len(toks) >= 1 and len(toks2) >= 1
 
 
+def test_lookahead_short_first_slice(setup):
+    """A submission with lookahead>0 gets its first tokens from a SHORT batch
+    slice (loaded-TTFA fix): the first yielded row must be at most the
+    snapped look-ahead length, not a full slice_size row."""
+    params, lanes = setup
+
+    async def run():
+        dec = BatchedT3Decoder(params, CFG, n_slots=2, slice_size=16)
+        try:
+            text, tlen = _text([255, 5, 6, 0])
+            first_rows = []
+            async for row in dec.decode_chunk(
+                lanes, text, tlen, 0.8, 0.95, 0.5, 1.2, 40, None,
+                lookahead=4,
+            ):
+                first_rows.append(row)
+            return first_rows
+        finally:
+            dec.stop()
+
+    rows = asyncio.run(run())
+    assert rows, "no tokens produced"
+    # snapped short slice = 8 (LOOKAHEAD_STEPS[0] >= 4), well under slice 16
+    assert len(rows[0]) <= 8, len(rows[0])
+
+
 def test_cancellation_releases_slot(setup):
     params, lanes = setup
 
