@@ -343,7 +343,8 @@ class TTSEngine:
                     seed=self.seed,
                 )
                 self.s3gen_scheduler = S3GenScheduler(
-                    self.params["s3gen"], self.gen_cfg, infer=self._s3gen_infer_fn()
+                    self.params["s3gen"], self.gen_cfg, infer=self._s3gen_infer_fn(),
+                    state_tokens=self.cfg.t3.max_speech_tokens + 8,
                 )
             self._progress = "Warming up compiled graphs..."
             await asyncio.to_thread(self._warmup)
@@ -406,12 +407,14 @@ class TTSEngine:
                 # otherwise stalls ~10 s per (bucket, batch) combination
                 if self.s3gen_scheduler is not None:
                     # every power-of-two batch the scheduler's coalescing can
-                    # form (not a hardcoded set — ADVICE r2)
+                    # form, including the single-job variant (not a hardcoded
+                    # set — ADVICE r2)
                     batch_sizes = []
-                    b = 2
+                    b = 1
                     while b <= self.s3gen_scheduler.max_batch:
                         batch_sizes.append(b)
                         b *= 2
+                    state_len = self.s3gen_scheduler.state_len
                     for Bv in batch_sizes:
                         def compile_batched(T=T, Bv=Bv):
                             rB = jax.tree.map(
@@ -423,9 +426,11 @@ class TTSEngine:
                                 jax.ShapeDtypeStruct((Bv, 1, T), jnp.int32),
                                 jax.ShapeDtypeStruct((Bv, 1), jnp.int32),
                                 rB,
-                                jax.ShapeDtypeStruct((Bv, 1, T * spt), jnp.float32),
+                                jax.ShapeDtypeStruct((Bv, state_len), jnp.float32),
                                 jax.ShapeDtypeStruct((Bv, 1), jnp.int32),
                                 jax.ShapeDtypeStruct((Bv, 2), jnp.uint32),
+                                jax.ShapeDtypeStruct((Bv,), jnp.int32),
+                                jax.ShapeDtypeStruct((Bv,), jnp.int32),
                             ).compile()
 
                         await asyncio.to_thread(compile_batched)
@@ -1041,10 +1046,12 @@ class TTSEngine:
                         toks, new_cache, new_state = t3_decode_slice(
                             t3p, t3c, cache, state, n, s_view
                         )
-                        return np.asarray(toks), new_cache, new_state
+                        # one bulk fetch (one tunnel round trip), not two
+                        toks_h, done_h = jax.device_get((toks, new_state["done"]))
+                        return toks_h, done_h, new_cache, new_state
 
-                    toks, cache, state = await asyncio.to_thread(run_slice)
-                    done = bool(np.asarray(state["done"])[0])
+                    toks, done_h, cache, state = await asyncio.to_thread(run_slice)
+                    done = bool(done_h[0])
                     row = toks[0]
                     eos = np.where(row == t3c.stop_speech_token)[0]
                     if len(eos):
@@ -1183,8 +1190,10 @@ class TTSEngine:
         acc_tokens = np.zeros((0,), np.int32)
         prev_samples = 0
         src_drop = 0
+        src_valid = 0
         last_chunk_idx = -1
-        source_cache = np.zeros((0,), np.float32)
+        source_cache = np.zeros((0,), np.float32)  # host path (no scheduler)
+        source_state = None                        # device path (scheduler)
 
         async def emit(audio: np.ndarray) -> bool:
             if audio.size == 0:
@@ -1209,7 +1218,9 @@ class TTSEngine:
                     acc_tokens = np.zeros((0,), np.int32)
                     prev_samples = 0   # absolute emitted samples (filtered-token space)
                     src_drop = 0       # window-drop the source cache aligns to
+                    src_valid = 0      # valid samples in the device state row
                     source_cache = np.zeros((0,), np.float32)
+                    source_state = None
                     last_chunk_idx = item["chunk_idx"]
                     chunk_key = jax.random.fold_in(base_key, item["chunk_idx"])
 
@@ -1245,24 +1256,45 @@ class TTSEngine:
                 T = next(b for b in buckets if b >= infer_tokens.size)
                 padded = np.full((1, T), s3c.vocab_size, np.int32)
                 padded[0, : infer_tokens.size] = infer_tokens
-                src = np.zeros((1, T * spt), np.float32)
-                cache_len = 0
-                if overlap == "full":
-                    # source cache aligns to the window start of the slice it
-                    # was produced by; skip samples the window dropped since
-                    off = (drop - src_drop) * spt
-                    sc = source_cache[off:] if off < source_cache.size else source_cache[:0]
-                    cache_len = min(sc.size, T * spt)
-                    if cache_len:
-                        src[0, :cache_len] = sc[:cache_len]
+                valid = infer_tokens.size * spt
+                prev_rel = prev_samples - drop * spt if overlap == "full" else 0
 
-                metrics.record_stage("s3gen_prep_host", time.perf_counter() - t_prep0)
                 if self.s3gen_scheduler is not None:
-                    wav, new_src = await self.s3gen_scheduler.synthesize(
-                        padded[0], infer_tokens.size, conds.gen_ref,
-                        src[0], cache_len, chunk_key,
+                    # device-resident source state: the excitation cache never
+                    # round-trips and only the NEW audio tail is fetched
+                    # (full-overlap waveforms grow quadratically; the tail is
+                    # constant-size — measured r3 host/device breakdown)
+                    shift = (drop - src_drop) * spt if overlap == "full" else 0
+                    clen = (
+                        max(0, min(src_valid - shift, T * spt))
+                        if overlap == "full" else 0
                     )
+                    metrics.record_stage("s3gen_prep_host", time.perf_counter() - t_prep0)
+                    tail_np, start_used, new_state = await self.s3gen_scheduler.synthesize(
+                        padded[0], infer_tokens.size, conds.gen_ref,
+                        source_state, clen, chunk_key,
+                        shift=shift, prev_rel=prev_rel,
+                    )
+                    t_host0 = time.perf_counter()
+                    audio = tail_np[prev_rel - start_used : valid - start_used]
+                    if overlap == "full":
+                        source_state = new_state
+                        src_valid = valid
+                        src_drop = drop
+                        prev_samples = drop * spt + valid
                 else:
+                    src = np.zeros((1, T * spt), np.float32)
+                    cache_len = 0
+                    if overlap == "full":
+                        # source cache aligns to the window start of the slice
+                        # it was produced by; skip samples dropped since
+                        off = (drop - src_drop) * spt
+                        sc = source_cache[off:] if off < source_cache.size else source_cache[:0]
+                        cache_len = min(sc.size, T * spt)
+                        if cache_len:
+                            src[0, :cache_len] = sc[:cache_len]
+                    metrics.record_stage("s3gen_prep_host", time.perf_counter() - t_prep0)
+
                     def run():
                         w, ns = self._jit_s3gen()(
                             s3p, jnp.asarray(padded),
@@ -1275,14 +1307,13 @@ class TTSEngine:
                     t_dev0 = time.perf_counter()
                     wav, new_src = await asyncio.to_thread(run)
                     metrics.record_stage("s3gen_single_device", time.perf_counter() - t_dev0)
-                t_host0 = time.perf_counter()
-                valid = infer_tokens.size * spt
-                audio = wav[:valid]
-                if overlap == "full":
-                    source_cache = new_src[:valid]
-                    src_drop = drop
-                    audio = audio[prev_samples - drop * spt:]
-                    prev_samples = drop * spt + valid
+                    t_host0 = time.perf_counter()
+                    audio = wav[:valid]
+                    if overlap == "full":
+                        source_cache = new_src[:valid]
+                        src_drop = drop
+                        audio = audio[prev_rel:]
+                        prev_samples = drop * spt + valid
 
                 if item["is_first_chunk"] and item["is_first_slice"]:
                     audio = trim_leading(audio, lead_trim_ms, self.sr)

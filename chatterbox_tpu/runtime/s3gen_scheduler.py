@@ -1,4 +1,4 @@
-"""S3Gen micro-batching scheduler.
+"""S3Gen micro-batching scheduler with device-resident streaming state.
 
 At high stream counts the synthesis stage issues one S3Gen graph per request
 chunk; each call is small (tens of ms) and leaves MXU headroom. This
@@ -10,13 +10,25 @@ sequential dispatches.
 Batches form greedily: whatever is queued for a bucket when the device frees
 up goes out together (no artificial wait — single requests keep single-call
 latency).
+
+Host↔device traffic is the serving bottleneck on a tunneled runtime
+(measured r3: the 16-stream wave spends ~40% of wall outside device compute),
+so the streaming state never round-trips:
+
+* the per-request excitation **source cache** (the chunk-continuity contract)
+  lives on device as a fixed-size [STATE_LEN] row; each batch slices the
+  window it needs (``shift``) inside the jitted graph and returns the updated
+  row — zero host bytes;
+* only the **new audio tail** is fetched to host (``prev_rel`` → a
+  ≤ MAX_TAIL_TOKENS·spt slice cut inside the graph), instead of the full
+  re-synthesized waveform — in "full"-overlap mode the full waveform grows
+  quadratically while the tail is constant-size.
 """
 from __future__ import annotations
 
 import asyncio
 import dataclasses
 import time as _time
-from functools import partial
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -25,7 +37,12 @@ import jax
 import jax.numpy as jnp
 
 from ..logging_config import log
-from ..models.s3gen import S3GenConfig, s3gen_inference
+from ..models.s3gen import s3gen_inference
+
+# Upper bound on NEW tokens per synthesis call: the largest snapped
+# audio_tokens_per_slice (100, engine.SLICE_SIZE_SNAP) + the appended EOS
+# code. The fetched tail is min(MAX_TAIL_TOKENS, bucket)·spt samples.
+MAX_TAIL_TOKENS = 101
 
 
 @dataclasses.dataclass
@@ -33,21 +50,28 @@ class _Job:
     tokens: np.ndarray        # [T] bucket-padded
     token_len: int
     ref: Dict                 # per-request ref dict (leaves [1, ...])
-    source: np.ndarray        # [T*spt]
-    cache_len: int
+    state: jax.Array          # [STATE_LEN] device-resident source cache row
+    cache_len: int            # valid samples in state AFTER shift
     key: jax.Array
+    shift: int                # samples to skip from state (window drop)
+    prev_rel: int             # first NEW sample index (window-relative)
     future: asyncio.Future
 
 
 class S3GenScheduler:
-    def __init__(self, params: Dict, cfg, max_batch: int = 16, infer=None):
+    def __init__(self, params: Dict, cfg, max_batch: int = 16, infer=None,
+                 state_tokens: int = 1032):
         """``infer``: per-item inference fn with the s3gen_inference signature
         (params, tokens, token_len, ref, src, cache_len, key) — lets the
         engine run either token→waveform architecture through the same
-        micro-batcher. Defaults to the DiT path."""
+        micro-batcher. Defaults to the DiT path.
+
+        ``state_tokens``: source-cache capacity in tokens (≥ the engine's
+        largest token bucket)."""
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
+        self.state_len = state_tokens * cfg.samples_per_token
         self._infer = infer or (
             lambda params, tk, tl, rf, sr, cl, ky: s3gen_inference(
                 params, cfg, tk, tl, rf, sr, cl, ky
@@ -58,11 +82,18 @@ class S3GenScheduler:
         self._task: Optional[asyncio.Task] = None
         self._loop: Optional[asyncio.AbstractEventLoop] = None
         self._jit = {}
+        self._zero_state: Optional[jax.Array] = None
         # stacked-conditioning cache: coalesced batches overwhelmingly share
         # the same voice combination (usually all-default), so the per-batch
         # jax.tree stack of B ref dicts (5 device ops + dispatches per batch)
         # is memoized on the identity of the member refs
-        self._ref_cache: Dict[tuple, Dict] = {}
+        self._ref_cache: Dict[tuple, Tuple[list, Dict]] = {}
+
+    def zero_state(self) -> jax.Array:
+        """The shared all-zeros source-cache row (first slice of a chunk)."""
+        if self._zero_state is None:
+            self._zero_state = jnp.zeros((self.state_len,), jnp.float32)
+        return self._zero_state
 
     def _stacked_ref(self, jobs: List[_Job]) -> Dict:
         key = tuple(id(j.ref) for j in jobs)
@@ -77,20 +108,37 @@ class S3GenScheduler:
         self._ref_cache[key] = ([j.ref for j in jobs], stacked)
         return stacked
 
+    def _tail_len(self, T: int) -> int:
+        return min(MAX_TAIL_TOKENS, T) * self.cfg.samples_per_token
+
     def _infer_fn(self, T: int, B: int):
         jit_key = (T, B)
         if jit_key not in self._jit:
             item_infer = self._infer
+            spt = self.cfg.samples_per_token
+            n = T * spt
+            tail = self._tail_len(T)
+            state_len = self.state_len
 
             @jax.jit
-            def infer(params, tokens, token_len, ref, src, cache_len, keys):
+            def infer(params, tokens, token_len, ref, states, cache_len, keys,
+                      shifts, starts):
                 # vmap over the micro-batch with PER-REQUEST noise keys, so a
                 # request's CFM/source noise is identical whether it runs solo
                 # or co-batched (reproducibility + seam determinism).
-                def one(tk, tl, rf, sr, cl, ky):
-                    return item_infer(params, tk, tl, rf, sr, cl, ky)
+                def one(tk, tl, rf, st, cl, ky, sh, strt):
+                    src = jax.lax.dynamic_slice(st, (sh,), (n,))[None]
+                    wav, new_src = item_infer(params, tk, tl, rf, src, cl, ky)
+                    new_state = jnp.zeros((state_len,), jnp.float32)
+                    new_state = jax.lax.dynamic_update_slice(
+                        new_state, new_src[0].astype(jnp.float32), (0,)
+                    )
+                    tail_out = jax.lax.dynamic_slice(wav[0], (strt,), (tail,))
+                    return tail_out, new_state
 
-                return jax.vmap(one)(tokens, token_len, ref, src, cache_len, keys)
+                return jax.vmap(one)(
+                    tokens, token_len, ref, states, cache_len, keys, shifts, starts
+                )
 
             self._jit[jit_key] = infer
         return self._jit[jit_key]
@@ -111,18 +159,24 @@ class S3GenScheduler:
 
     async def synthesize(
         self,
-        tokens: np.ndarray,   # [T] bucket-padded
+        tokens: np.ndarray,       # [T] bucket-padded
         token_len: int,
-        ref: Dict,            # leaves [1, ...]
-        source: np.ndarray,   # [T*spt]
-        cache_len: int,
+        ref: Dict,                # leaves [1, ...]
+        state: Optional[jax.Array],  # [state_len] device row (None = zeros)
+        cache_len: int,           # valid source samples after shift
         key: jax.Array,
-    ) -> Tuple[np.ndarray, np.ndarray]:
-        """→ (wav [T*spt], new_source [T*spt])."""
+        shift: int = 0,           # window drop in samples
+        prev_rel: int = 0,        # first new sample (window-relative)
+    ) -> Tuple[np.ndarray, int, jax.Array]:
+        """→ (audio tail [tail_len] on host, tail start offset, new device
+        state row). The caller's new audio is ``tail[prev_rel - start :]``
+        up to its valid length."""
         self.start()
         fut = asyncio.get_running_loop().create_future()
+        if state is None:
+            state = self.zero_state()
         self._queues.setdefault(len(tokens), []).append(
-            _Job(tokens, token_len, ref, source, cache_len, key, fut)
+            _Job(tokens, token_len, ref, state, cache_len, key, shift, prev_rel, fut)
         )
         self._wake.set()
         return await fut
@@ -146,6 +200,8 @@ class S3GenScheduler:
                 take *= 2
             jobs, queue[:] = queue[:take], queue[take:]
             B, T = len(jobs), bucket
+            tail = self._tail_len(T)
+            n = T * spt
 
             def run_batch():
                 from .metrics import metrics
@@ -154,27 +210,36 @@ class S3GenScheduler:
                 t0 = _time.perf_counter()
                 tokens = jnp.asarray(np.stack([j.tokens[None] for j in jobs]))
                 tlen = jnp.asarray([[j.token_len] for j in jobs], jnp.int32)
-                src = jnp.asarray(np.stack([j.source[None] for j in jobs]))
+                states = jnp.stack([j.state for j in jobs])
                 clen = jnp.asarray([[j.cache_len] for j in jobs], jnp.int32)
                 ref = self._stacked_ref(jobs)
                 keys = jnp.stack([j.key for j in jobs])
-                metrics.record_stage("s3gen_stack_host", _time.perf_counter() - t0)
-                wav, new_src = self._infer_fn(T, B)(
-                    self.params, tokens, tlen, ref, src, clen, keys
+                shifts = jnp.asarray(
+                    [min(max(j.shift, 0), self.state_len - n) for j in jobs], jnp.int32
                 )
-                return np.asarray(wav), np.asarray(new_src)
+                starts_host = [min(max(j.prev_rel, 0), max(0, n - tail)) for j in jobs]
+                starts = jnp.asarray(starts_host, jnp.int32)
+                metrics.record_stage("s3gen_stack_host", _time.perf_counter() - t0)
+                tails, new_states = self._infer_fn(T, B)(
+                    self.params, tokens, tlen, ref, states, clen, keys,
+                    shifts, starts,
+                )
+                # only the tails cross the tunnel; states stay device-resident
+                return np.asarray(tails), starts_host, new_states
 
             from .metrics import metrics
 
             t0 = _time.perf_counter()
             try:
-                wav, new_src = await asyncio.to_thread(run_batch)
+                tails, starts_host, new_states = await asyncio.to_thread(run_batch)
                 metrics.record_stage(
                     "s3gen_device", _time.perf_counter() - t0, items=len(jobs)
                 )
                 for i, job in enumerate(jobs):
                     if not job.future.done():
-                        job.future.set_result((wav[i, 0], new_src[i, 0]))
+                        job.future.set_result(
+                            (tails[i], starts_host[i], new_states[i])
+                        )
             except asyncio.CancelledError:
                 for job in jobs:
                     if not job.future.done():

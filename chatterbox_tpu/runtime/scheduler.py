@@ -385,7 +385,8 @@ class BatchedT3Decoder:
                         n_steps, s_view,
                     )
                     self.cache, self.state = cache, state
-                    return np.asarray(toks), np.asarray(state["done"])
+                    # one bulk fetch (one tunnel round trip), not two
+                    return jax.device_get((toks, state["done"]))
 
                 from .metrics import metrics
 
