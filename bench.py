@@ -274,9 +274,25 @@ def main() -> None:
                                "serve_bench_results.json")) as f:
             data = json.load(f)
         if not data.get("tiny"):
-            rows = {r["overlap"]: r for r in data.get("results", [])}
+            rows = {r["overlap"]: r for r in data.get("results", []) if "overlap" in r}
+            cap = next(
+                (r["capacity_streams"] for r in data.get("results", [])
+                 if "capacity_streams" in r),
+                None,
+            )
             row = rows.get("full") or next(iter(rows.values()), None)
-            if row:
+            if cap is not None:
+                # capacity sweep: the largest all-realtime simultaneous wave
+                measured = {
+                    "measured_at": data.get("measured_at"),
+                    "overlap": "full",
+                    "streams": cap.get("full", 0),
+                    "realtime_streams": cap.get("full", 0),
+                    "capacity": cap,
+                    "ttfa_p50_ms": row["ttfa_p50_ms"] if row else None,
+                    "rtf_p50": row["rtf_p50"] if row else None,
+                }
+            elif row:
                 measured = {
                     "measured_at": data.get("measured_at"),
                     "overlap": row["overlap"],

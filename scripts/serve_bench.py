@@ -99,19 +99,14 @@ async def run(args) -> None:
                 data = await resp.json()
             return data.get("metrics", {}).get("stages", {})
 
-        results_out = []
-        for overlap in ("full", "zero"):
+        async def run_wave(n: int, overlap: str, idx0: int) -> dict:
             stages0 = await stage_snapshot()
             t0 = time.perf_counter()
             results = await asyncio.gather(*[
-                _one_request(session, url, 1000 + i, overlap)
-                for i in range(args.streams)
+                _one_request(session, url, idx0 + i, overlap) for i in range(n)
             ])
             wall = time.perf_counter() - t0
             stages1 = await stage_snapshot()
-            # host-vs-device breakdown (VERDICT r2 item 1): stage seconds
-            # accumulated by the engine during this wave. Device stages time
-            # blocking dispatch+fetch; host stages time numpy/stitch work.
             breakdown = {}
             for name, s1 in stages1.items():
                 dt = round(s1["time_s"] - stages0.get(name, {}).get("time_s", 0.0), 2)
@@ -120,9 +115,9 @@ async def run(args) -> None:
                     breakdown[name] = {"time_s": dt, "count": dn}
             ttfas = sorted(r["ttfa"] for r in results)
             rtfs = sorted(r["wall"] / max(r["audio_s"], 1e-6) for r in results)
-            out = {
+            return {
                 "overlap": overlap,
-                "streams": args.streams,
+                "streams": n,
                 "realtime_streams": sum(1 for r in rtfs if r < 1.0),
                 "ttfa_p50_ms": round(statistics.median(ttfas) * 1e3, 1),
                 "ttfa_p99_ms": round(ttfas[min(len(ttfas) - 1, int(0.99 * len(ttfas)))] * 1e3, 1),
@@ -132,8 +127,39 @@ async def run(args) -> None:
                 "wall_s": round(wall, 1),
                 "stages": breakdown,
             }
-            results_out.append(out)
-            print(json.dumps(out), flush=True)
+
+        results_out = []
+        if args.capacity:
+            # Capacity sweep: the N-stream simultaneous wave is lockstep (all
+            # requests share the batched decode and finish together), so
+            # realtime_streams is all-or-nothing per wave. The honest measured
+            # capacity is the largest N whose N-stream wave holds RTF < 1 for
+            # every stream.
+            capacity = {}
+            for overlap in ("full", "zero"):
+                cap, base = 0, 3000
+                for n in (4, 6, 8, 10, 12, 14, 16):
+                    if n > args.streams:
+                        break
+                    out = await run_wave(n, overlap, base + 100 * n)
+                    print(json.dumps(out), flush=True)
+                    results_out.append(out)
+                    if out["realtime_streams"] == n:
+                        cap = n
+                    else:
+                        break
+                capacity[overlap] = cap
+            cap_row = {"capacity_streams": capacity}
+            print(json.dumps(cap_row), flush=True)
+            results_out.append(cap_row)
+        if not args.capacity:
+            # host-vs-device breakdown (VERDICT r2 item 1): stage seconds
+            # accumulated by the engine during each wave (device stages time
+            # blocking dispatch+fetch; host stages time numpy/stitch work)
+            for overlap in ("full", "zero"):
+                out = await run_wave(args.streams, overlap, 1000)
+                results_out.append(out)
+                print(json.dumps(out), flush=True)
         # persist for bench.py to embed (VERDICT r2 item 8: the driver-visible
         # number must carry the latest measured result, not stay analytic)
         out_path = os.environ.get(
@@ -155,6 +181,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=16)
     ap.add_argument("--warmup-waves", type=int, default=2)
+    ap.add_argument("--capacity", action="store_true",
+                    help="sweep wave sizes upward and report the largest "
+                         "all-realtime wave per overlap mode")
     ap.add_argument("--tiny", action="store_true", help="tiny random model (CI/CPU)")
     args = ap.parse_args()
     os.environ.setdefault("API_KEY", "bench")
