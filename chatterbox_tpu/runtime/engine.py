@@ -308,6 +308,7 @@ class TTSEngine:
         # per-request fatal pipeline errors, surfaced to the HTTP layer
         # (the reference leaves this as a TODO — worker.py:54-56)
         self._request_errors: Dict[str, str] = {}
+        self._precompile_task: Optional[asyncio.Task] = None
 
     # ------------------------------------------------------------------ init
     def get_initialization_status(self) -> dict:
@@ -354,7 +355,10 @@ class TTSEngine:
             self._progress = "Model ready"
             log.info("Engine ready on %s", jax.devices()[0])
             if os.environ.get("CHATTERBOX_PRECOMPILE", "1") == "1":
-                asyncio.ensure_future(self._precompile())
+                # kept as an attribute so benchmarks can await completion:
+                # background compiles contend for the host CPU and would
+                # otherwise bleed into measured waves (BENCH_NOTES r3)
+                self._precompile_task = asyncio.ensure_future(self._precompile())
         except Exception as exc:  # pragma: no cover - defensive
             self._state = InitializationState.ERROR
             self._error = str(exc)

@@ -74,6 +74,13 @@ async def run(args) -> None:
         if time.perf_counter() - t0 > 3600:
             raise TimeoutError("engine never became ready")
     sys.stderr.write(f"engine ready in {time.perf_counter()-t0:.0f}s\n")
+    # wait out the background precompilation: it compiles every (bucket,
+    # batch) graph variant on the single host CPU — measuring waves while it
+    # runs records compile stalls as device time and starves the event loop
+    if engine._precompile_task is not None:
+        t0 = time.perf_counter()
+        await engine._precompile_task
+        sys.stderr.write(f"precompile finished in {time.perf_counter()-t0:.0f}s\n")
 
     url = f"http://127.0.0.1:{port}/tts/generate"
     headers = {"X-API-Key": os.environ.get("API_KEY", "bench")}
