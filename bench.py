@@ -84,8 +84,12 @@ def main() -> None:
     # int8 KV matches the serving default (scale-factored attention)
     t3c = (T3Config.tiny() if tiny else T3Config()).with_(
         kv_cache_dtype=os.environ.get("BENCH_KV", "int8"))
-    use_pallas = os.environ.get("CHATTERBOX_PALLAS", "0") == "1"
-    if use_pallas and t3c.kv_cache_dtype != "int8" and t3c.num_kv_heads % 2 == 0:
+    # default-on for TPU, mirroring the engine (int8-paired: in-kernel
+    # scale-factored dequant + grid-bounded reads)
+    from chatterbox_tpu.ops.pallas_attention_v3 import pallas_enabled
+
+    use_pallas = pallas_enabled() and jax.default_backend() == "tpu"
+    if use_pallas and t3c.num_kv_heads % 2 == 0:
         t3c = t3c.with_(kv_cache_layout="paired")
     # BENCH_KV_HEADS=N measures a grouped-query variant (smaller KV cache →
     # more decode bandwidth headroom). Serving the pretrained checkpoint needs
@@ -153,23 +157,27 @@ def main() -> None:
         "start": jnp.zeros((Bb,), jnp.int32),
         "pos": jnp.full((Bb,), 128, jnp.int32),
     }
-    if t3c.kv_cache_dtype == "int8":
+    kv_dt = jnp.int8 if t3c.kv_cache_dtype == "int8" else dtype
+    if t3c.kv_cache_layout == "paired":
         cache_b.update(
-            k=jnp.zeros((L, Bb, S_max, Hk, Dh), jnp.int8),
-            v=jnp.zeros((L, Bb, S_max, Hk, Dh), jnp.int8),
-            k_scale=jnp.zeros((L, Bb, S_max, Hk), jnp.float32),
-            v_scale=jnp.zeros((L, Bb, S_max, Hk), jnp.float32),
+            k=jnp.zeros((L, Bb, Hk // 2, S_max, 2 * Dh), kv_dt),
+            v=jnp.zeros((L, Bb, Hk // 2, S_max, 2 * Dh), kv_dt),
         )
-    elif t3c.kv_cache_layout == "paired":
-        cache_b.update(
-            k=jnp.zeros((L, Bb, Hk // 2, S_max, 2 * Dh), dtype),
-            v=jnp.zeros((L, Bb, Hk // 2, S_max, 2 * Dh), dtype),
-        )
+        if t3c.kv_cache_dtype == "int8":
+            cache_b.update(
+                k_scale=jnp.zeros((L, Bb, Hk // 2, 2, S_max), jnp.float32),
+                v_scale=jnp.zeros((L, Bb, Hk // 2, 2, S_max), jnp.float32),
+            )
     else:
         cache_b.update(
-            k=jnp.zeros((L, Bb, S_max, Hk, Dh), dtype),
-            v=jnp.zeros((L, Bb, S_max, Hk, Dh), dtype),
+            k=jnp.zeros((L, Bb, S_max, Hk, Dh), kv_dt),
+            v=jnp.zeros((L, Bb, S_max, Hk, Dh), kv_dt),
         )
+        if t3c.kv_cache_dtype == "int8":
+            cache_b.update(
+                k_scale=jnp.zeros((L, Bb, S_max, Hk), jnp.float32),
+                v_scale=jnp.zeros((L, Bb, S_max, Hk), jnp.float32),
+            )
     state_b = make_decode_state(jax.random.PRNGKey(4), t3c, n_slots, 0.8, 0.95, 0.5, 1.2)
     # View bucketing is only copy-free through the paired Pallas kernel
     # (grid-bounded read); the XLA path must use the full view. The bucket
@@ -282,15 +290,25 @@ def main() -> None:
             )
             row = rows.get("full") or next(iter(rows.values()), None)
             if cap is not None:
-                # capacity sweep: the largest all-realtime simultaneous wave
+                # capacity sweep: the largest all-realtime simultaneous wave.
+                # Stats must come from the capacity wave itself, not the last
+                # emitted row — the sweep stops one wave PAST capacity, so the
+                # last row per overlap is the first failing one.
+                cap_full = cap.get("full", 0)
+                cap_row = next(
+                    (r for r in data.get("results", [])
+                     if r.get("overlap") == "full" and r.get("streams") == cap_full
+                     and r.get("realtime_streams") == cap_full),
+                    row,
+                )
                 measured = {
                     "measured_at": data.get("measured_at"),
                     "overlap": "full",
-                    "streams": cap.get("full", 0),
-                    "realtime_streams": cap.get("full", 0),
+                    "streams": cap_full,
+                    "realtime_streams": cap_full,
                     "capacity": cap,
-                    "ttfa_p50_ms": row["ttfa_p50_ms"] if row else None,
-                    "rtf_p50": row["rtf_p50"] if row else None,
+                    "ttfa_p50_ms": cap_row["ttfa_p50_ms"] if cap_row else None,
+                    "rtf_p50": cap_row["rtf_p50"] if cap_row else None,
                 }
             elif row:
                 measured = {

@@ -50,18 +50,15 @@ class T3Config:
     # KV cache layout: "seq" ([L, B, S, Hk, Dh], XLA grouped attention) or
     # "paired" ([L, B, Hk//2, S, 2*Dh], head-paired Pallas kernel whose grid
     # bounds reads to the filled prefix — ops/pallas_attention_v3.py).
+    # paired+int8 composes both: int8 paired cache + seq-last scale planes
+    # ([L, B, Hp, 2, S]) with in-kernel scale-factored dequant.
     kv_cache_layout: str = "seq"
 
     def __post_init__(self):
-        # The int8 cache is always seq-major ([L,B,S,Hk,Dh] + scales); the
-        # "paired" layout only exists for the bf16 Pallas kernel. Allowing the
-        # combination would silently misread the cache depth in decode
-        # (ADVICE r2) — reject it loudly instead.
-        if self.kv_cache_layout == "paired" and self.kv_cache_dtype == "int8":
+        if self.kv_cache_layout == "paired" and self.num_kv_heads % 2:
             raise ValueError(
-                "kv_cache_layout='paired' is incompatible with "
-                "kv_cache_dtype='int8' (the int8 cache is seq-major); "
-                "use layout='seq' for int8."
+                "kv_cache_layout='paired' needs an even num_kv_heads "
+                f"(got {self.num_kv_heads})"
             )
 
     # Sequence budget. 160 covers a 150-char chunk even with the 1-token-per-

@@ -246,11 +246,14 @@ def _backbone_decode_step(
     B = h.shape[0]
     Dh = cfg.head_dim
     quantized = k_scale is not None
-    paired = cfg.kv_cache_layout == "paired" and not quantized
-    # cache seq axis: [L,B,S,Hk,Dh] seq-major (incl. int8) / [L,B,Hp,S,128]
-    # paired — int8 is ALWAYS seq-major, whatever the configured layout
-    # (T3Config rejects the combination, but key the shape read on the actual
-    # storage, not the config string — ADVICE r2).
+    paired = cfg.kv_cache_layout == "paired"
+    # cache seq axis: [L,B,S,Hk,Dh] seq-major / [L,B,Hp,S,2*Dh] paired (both
+    # dtypes; paired-int8 adds [L,B,Hp,2,S] scale planes). Guard the layout
+    # claim against the actual storage (ADVICE r2: a config/storage mismatch
+    # must fail loudly, not silently misread the cache depth).
+    if paired:
+        assert k_cache.shape[4] == 2 * Dh, (
+            "paired cache/config mismatch", k_cache.shape, Dh)
     S_alloc = k_cache.shape[3] if paired else k_cache.shape[2]
     S = s_view if s_view is not None else S_alloc
     cos, sin = rope_frequencies(Dh, cfg.max_seq_len, cfg.rope_theta)
@@ -263,7 +266,7 @@ def _backbone_decode_step(
         kc_s = vc_s = None
         if quantized:
             lp, kc, vc, kc_s, vc_s = xs
-            if s_view is not None:
+            if s_view is not None and not paired:
                 kc = jax.lax.slice_in_dim(kc, 0, s_view, axis=1)
                 vc = jax.lax.slice_in_dim(vc, 0, s_view, axis=1)
                 kc_s = jax.lax.slice_in_dim(kc_s, 0, s_view, axis=1)
@@ -286,6 +289,7 @@ def _backbone_decode_step(
 
             o = paired_decode_attention(
                 q[:, 0], kc, vc, k[:, 0], v[:, 0], start, pos,
+                k_scale=kc_s, v_scale=vc_s,   # None unless int8 cache
                 s_view=s_view,
                 interpret=jax.default_backend() != "tpu",
             )[:, None]  # [B, 1, H, Dh]
@@ -357,6 +361,15 @@ def _write_cache_paired(cache_arr: jnp.ndarray, new: jnp.ndarray, pos: jnp.ndarr
         return jax.lax.dynamic_update_slice(c, n, (0, 0, p, 0))
 
     return jax.vmap(per_row, in_axes=(1, 1, 0), out_axes=1)(cache_arr, new, pos)
+
+
+def _write_scales_paired(scale_arr: jnp.ndarray, new: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """Write new [L, B, Hp, 2, 1] into scales [L, B, Hp, 2, S] at pos [B]."""
+
+    def per_row(c, n, p):  # c: [L, Hp, 2, S], n: [L, Hp, 2, 1]
+        return jax.lax.dynamic_update_slice(c, n, (0, 0, 0, p))
+
+    return jax.vmap(per_row, in_axes=(1, 1, 0), out_axes=1)(scale_arr, new, pos)
 
 
 # ------------------------------------------------------------- KV quantization
@@ -440,7 +453,21 @@ def t3_prefill(
     S_max = P + 1 + cfg.max_speech_tokens
     padw = ((0, 0), (0, 0), (0, S_max - P), (0, 0), (0, 0))
     cache = {"start": pad, "pos": jnp.full((B,), P, jnp.int32)}
-    if cfg.kv_cache_dtype == "int8":
+    paired = cfg.kv_cache_layout == "paired"
+    if cfg.kv_cache_dtype == "int8" and paired:
+        from ...ops.pallas_attention_v3 import pack_cache_paired, pack_scales_paired
+
+        kq, ks = _quantize_kv(k_all)
+        vq, vs = _quantize_kv(v_all)
+        padw_p = ((0, 0), (0, 0), (0, 0), (0, S_max - P), (0, 0))
+        padw_sp = ((0, 0), (0, 0), (0, 0), (0, 0), (0, S_max - P))
+        cache.update(
+            k=jnp.pad(pack_cache_paired(kq), padw_p),
+            v=jnp.pad(pack_cache_paired(vq), padw_p),
+            k_scale=jnp.pad(pack_scales_paired(ks), padw_sp),
+            v_scale=jnp.pad(pack_scales_paired(vs), padw_sp),
+        )
+    elif cfg.kv_cache_dtype == "int8":
         kq, ks = _quantize_kv(k_all)
         vq, vs = _quantize_kv(v_all)
         padw_s = padw[:-1]
@@ -448,7 +475,7 @@ def t3_prefill(
             k=jnp.pad(kq, padw), v=jnp.pad(vq, padw),
             k_scale=jnp.pad(ks, padw_s), v_scale=jnp.pad(vs, padw_s),
         )
-    elif cfg.kv_cache_layout == "paired":
+    elif paired:
         from ...ops.pallas_attention_v3 import pack_cache_paired
 
         padw_p = ((0, 0), (0, 0), (0, 0), (0, S_max - P), (0, 0))
@@ -547,7 +574,18 @@ def t3_decode_slice(
             "start": cache["start"],
             "pos": cache["pos"] + active_lanes.astype(jnp.int32),
         }
-        if quantized:
+        if quantized and cfg.kv_cache_layout == "paired":
+            L_, B_ = k_new.shape[0], k_new.shape[1]
+            Hp = cfg.num_kv_heads // 2
+            pair_shape = (L_, B_, Hp, 1, 2 * cfg.head_dim)
+            kq, ks = _quantize_kv(k_new)   # kq [L,B,1,Hk,Dh], ks [L,B,1,Hk]
+            vq, vs = _quantize_kv(v_new)
+            to_pair_s = lambda s: jnp.moveaxis(s.reshape(L_, B_, 1, Hp, 2), 2, 4)
+            new_cache["k"] = _write_cache_paired(cache["k"], kq.reshape(pair_shape), cache["pos"])
+            new_cache["v"] = _write_cache_paired(cache["v"], vq.reshape(pair_shape), cache["pos"])
+            new_cache["k_scale"] = _write_scales_paired(cache["k_scale"], to_pair_s(ks), cache["pos"])
+            new_cache["v_scale"] = _write_scales_paired(cache["v_scale"], to_pair_s(vs), cache["pos"])
+        elif quantized:
             kq, ks = _quantize_kv(k_new)
             vq, vs = _quantize_kv(v_new)
             new_cache["k"] = _write_cache(cache["k"], kq, cache["pos"])

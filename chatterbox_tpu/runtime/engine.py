@@ -277,11 +277,13 @@ class TTSEngine:
         if (
             _pallas_active()
             and engine_cfg.t3.kv_cache_layout == "seq"
-            and engine_cfg.t3.kv_cache_dtype != "int8"
             and engine_cfg.t3.num_kv_heads % 2 == 0
         ):
             # head-paired KV layout → grid-bounded decode attention
-            # (ops/pallas_attention_v3.py): reads only the filled cache prefix
+            # (ops/pallas_attention_v3.py): reads only the filled cache
+            # prefix. Composes with the int8 serving default — the kernel
+            # dequantizes in-kernel via scale-factoring, so the paired int8
+            # cache DMAs half the bytes of the bf16 one.
             engine_cfg = dataclasses.replace(
                 engine_cfg, t3=engine_cfg.t3.with_(kv_cache_layout="paired")
             )
@@ -473,14 +475,20 @@ class TTSEngine:
                 dt = jax.tree.leaves(self.params["t3"])[0].dtype
                 if t3c.kv_cache_layout == "paired":
                     kv_shape = (L, 2, Hk // 2, depth, 2 * Dh)
+                    scale_shape = (L, 2, Hk // 2, 2, depth)
                 else:
                     kv_shape = (L, 2, depth, Hk, Dh)
+                    scale_shape = (L, 2, depth, Hk)
+                kv_dt = jnp.int8 if t3c.kv_cache_dtype == "int8" else dt
                 cache_shapes = {
-                    "k": jax.ShapeDtypeStruct(kv_shape, dt),
-                    "v": jax.ShapeDtypeStruct(kv_shape, dt),
+                    "k": jax.ShapeDtypeStruct(kv_shape, kv_dt),
+                    "v": jax.ShapeDtypeStruct(kv_shape, kv_dt),
                     "start": jax.ShapeDtypeStruct((2,), jnp.int32),
                     "pos": jax.ShapeDtypeStruct((2,), jnp.int32),
                 }
+                if t3c.kv_cache_dtype == "int8":
+                    cache_shapes["k_scale"] = jax.ShapeDtypeStruct(scale_shape, jnp.float32)
+                    cache_shapes["v_scale"] = jax.ShapeDtypeStruct(scale_shape, jnp.float32)
                 state_shapes = shape_of(
                     make_decode_state(jax.random.PRNGKey(0), t3c, 1, 0.8, 0.95, 0.5, 1.2)
                 )

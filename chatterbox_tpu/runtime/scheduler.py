@@ -83,7 +83,16 @@ class BatchedT3Decoder:
             "start": jnp.zeros((B,), jnp.int32),
             "pos": jnp.zeros((B,), jnp.int32),
         }
-        if cfg.kv_cache_dtype == "int8":
+        if cfg.kv_cache_dtype == "int8" and cfg.kv_cache_layout == "paired":
+            # int8 paired cache + seq-last scale planes: the grid-bounded
+            # kernel DMAs half the bytes and dequantizes in-kernel
+            self.cache.update(
+                k=jnp.zeros((L, B, Hk // 2, S, 2 * Dh), jnp.int8),
+                v=jnp.zeros((L, B, Hk // 2, S, 2 * Dh), jnp.int8),
+                k_scale=jnp.zeros((L, B, Hk // 2, 2, S), jnp.float32),
+                v_scale=jnp.zeros((L, B, Hk // 2, 2, S), jnp.float32),
+            )
+        elif cfg.kv_cache_dtype == "int8":
             self.cache.update(
                 k=jnp.zeros((L, B, S, Hk, Dh), jnp.int8),
                 v=jnp.zeros((L, B, S, Hk, Dh), jnp.int8),
@@ -135,9 +144,21 @@ class BatchedT3Decoder:
                 P = cond.shape[1] + text.shape[1]
                 lane = 2 * slot
                 out = dict(cache)
-                if cfg.kv_cache_layout == "paired" and cfg.kv_cache_dtype != "int8":
-                    from ..ops.pallas_attention_v3 import pack_cache_paired
+                if cfg.kv_cache_layout == "paired":
+                    from ..ops.pallas_attention_v3 import (
+                        pack_cache_paired,
+                        pack_scales_paired,
+                    )
 
+                    if cfg.kv_cache_dtype == "int8":
+                        k, ks = _quantize_kv(k)
+                        v, vs = _quantize_kv(v)
+                        out["k_scale"] = jax.lax.dynamic_update_slice(
+                            cache["k_scale"], pack_scales_paired(ks), (0, lane, 0, 0, 0)
+                        )
+                        out["v_scale"] = jax.lax.dynamic_update_slice(
+                            cache["v_scale"], pack_scales_paired(vs), (0, lane, 0, 0, 0)
+                        )
                     # one-time relayout per admission (≈100 MB), not per step
                     kp = pack_cache_paired(k)  # [L, 2, Hp, S, 2*Dh]
                     vp = pack_cache_paired(v)

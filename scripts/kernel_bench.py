@@ -27,8 +27,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from chatterbox_tpu.models.t3.model import _quantize_kv
     from chatterbox_tpu.ops.pallas_attention_v3 import (
         pack_cache_paired,
+        pack_scales_paired,
         paired_decode_attention,
     )
 
@@ -75,6 +77,35 @@ def main() -> None:
             functools.partial(
                 lambda q, v: paired_decode_attention(
                     q, kc_pr, vc_pr, kn, vn, start, pos, s_view=v
+                ),
+                v=view,
+            ),
+        ))
+    kq, ksc = _quantize_kv(kc_sh)
+    vq, vsc = _quantize_kv(vc_sh)
+    kq_pr, vq_pr = pack_cache_paired(kq), pack_cache_paired(vq)
+    ks_pr, vs_pr = pack_scales_paired(ksc), pack_scales_paired(vsc)
+
+    def xla_int8(q):
+        # the production scale-factored XLA path, shapes matched to the model
+        sc = jnp.einsum("bhd,bshd->bhs", q, kq, preferred_element_type=jnp.float32)
+        sc = sc * jnp.moveaxis(ksc, 1, 2) / (Dh ** 0.5)
+        idx = jnp.arange(S)[None, None, :]
+        sc = jnp.where((idx >= start[:, None, None]) & (idx < pos[:, None, None]), sc, -1e9)
+        ss = jnp.einsum("bhd,bhd->bh", q, kn, preferred_element_type=jnp.float32)[..., None] / (Dh ** 0.5)
+        p = jax.nn.softmax(jnp.concatenate([sc, ss], -1), -1)
+        pv = p[..., :S] * jnp.moveaxis(vsc, 1, 2)
+        o = jnp.einsum("bhs,bshd->bhd", pv, vq.astype(jnp.float32), preferred_element_type=jnp.float32)
+        return (o + p[..., S:] * vn.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    cases.append(("xla int8 scale-factored", xla_int8))
+    for view in (None, 512, 256):
+        cases.append((
+            f"pallas v3 int8 (view={view})",
+            functools.partial(
+                lambda q, v: paired_decode_attention(
+                    q, kq_pr, vq_pr, kn, vn, start, pos,
+                    k_scale=ks_pr, v_scale=vs_pr, s_view=v,
                 ),
                 v=view,
             ),

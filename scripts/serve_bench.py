@@ -89,16 +89,22 @@ async def run(args) -> None:
     # graph compiles far longer than aiohttp's 300 s default
     timeout = aiohttp.ClientTimeout(total=None)
     async with aiohttp.ClientSession(headers=headers, connector=conn, timeout=timeout) as session:
+        # warm BOTH overlap modes: zero-overlap slices carry different token
+        # counts than full, so a full-only warmup leaves the first measured
+        # zero wave paying request-time compiles (seen as a 3.7 s mid-wave
+        # stall in the r3 tiny run)
         for wave in range(args.warmup_waves):
-            t0 = time.perf_counter()
-            r = await asyncio.gather(*[
-                _one_request(session, url, 10_000 * (wave + 1) + i)
-                for i in range(args.streams)
-            ])
-            sys.stderr.write(
-                f"warmup wave {wave}: {time.perf_counter()-t0:.1f}s wall, "
-                f"{sum(x['audio_s'] for x in r):.1f}s audio\n"
-            )
+            for overlap in ("full", "zero"):
+                t0 = time.perf_counter()
+                r = await asyncio.gather(*[
+                    _one_request(session, url, 10_000 * (wave + 1) + i, overlap)
+                    for i in range(args.streams)
+                ])
+                sys.stderr.write(
+                    f"warmup wave {wave} ({overlap}): "
+                    f"{time.perf_counter()-t0:.1f}s wall, "
+                    f"{sum(x['audio_s'] for x in r):.1f}s audio\n"
+                )
         async def stage_snapshot() -> dict:
             async with session.get(
                 f"http://127.0.0.1:{port}/system-status"

@@ -100,6 +100,42 @@ def test_int8_hidden_state_error_bound(setup):
     assert lerr < 0.02, f"int8 logits relative error {lerr:.4f} exceeds 2%"
 
 
+def test_int8_paired_layout_matches_seq(setup):
+    """paired+int8 (in-kernel scale-factored dequant) must reproduce the
+    seq-major int8 decode: identical quantization, so greedy tokens match
+    exactly over a short horizon (interpret-mode kernel on CPU)."""
+    params, lanes, text, tlen = setup
+    cfg_p = CFG_Q.with_(kv_cache_layout="paired")
+    a = _greedy_tokens(params, CFG_Q, lanes, text, tlen, n=8)
+    b = _greedy_tokens(params, cfg_p, lanes, text, tlen, n=8)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_int8_paired_scheduler_end_to_end(setup):
+    from chatterbox_tpu.runtime.scheduler import BatchedT3Decoder
+
+    params, lanes, text, tlen = setup
+    cfg_p = CFG_Q.with_(kv_cache_layout="paired")
+
+    async def run():
+        dec = BatchedT3Decoder(params, cfg_p, n_slots=2, slice_size=6)
+        try:
+            assert dec.cache["k"].dtype == jnp.int8
+            assert dec.cache["k"].shape[2] == cfg_p.num_kv_heads // 2
+            rows = []
+            async for row in dec.decode_chunk(
+                np.asarray(lanes), np.asarray(text), 5, 0.8, 0.95, 0.0, 1.0, 18
+            ):
+                rows.append(row)
+            return np.concatenate(rows) if rows else np.zeros((0,), np.int32)
+        finally:
+            dec.stop()
+
+    toks = asyncio.run(run())
+    assert 1 <= len(toks) <= 18
+    assert (toks < cfg_p.num_speech_codes).all()
+
+
 def test_int8_scheduler_end_to_end(setup):
     from chatterbox_tpu.runtime.scheduler import BatchedT3Decoder
 

@@ -8,6 +8,7 @@ import jax.numpy as jnp
 from chatterbox_tpu.ops.pallas_attention_v3 import (
     new_token_paired,
     pack_cache_paired,
+    pack_scales_paired,
     paired_decode_attention,
 )
 
@@ -58,6 +59,60 @@ def test_paired_matches_reference(heads, s_view):
         s_view=s_view, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=2e-5)
+
+
+def _quantize(x):
+    """Per-token-per-head symmetric int8 along the last axis (matches
+    models/t3/model._quantize_kv)."""
+    scale = np.maximum(np.abs(x).max(axis=-1), 1e-8) / 127.0
+    q = np.clip(np.round(x / scale[..., None]), -127, 127).astype(np.int8)
+    return q, scale.astype(np.float32)
+
+
+@pytest.mark.parametrize("heads", [(4, 4), (8, 2)])  # MHA and GQA
+@pytest.mark.parametrize("s_view", [None, 256])
+def test_paired_int8_matches_dequantized_reference(heads, s_view):
+    """The in-kernel scale-factored int8 path must equal attention over the
+    explicitly dequantized cache (the current token stays unquantized)."""
+    H, Hk = heads
+    B, S, Dh = 3, 512, 64
+    rng = np.random.default_rng(11)
+    q = rng.standard_normal((B, H, Dh)).astype(np.float32)
+    kc = rng.standard_normal((B, S, Hk, Dh)).astype(np.float32)
+    vc = rng.standard_normal((B, S, Hk, Dh)).astype(np.float32)
+    kn = rng.standard_normal((B, Hk, Dh)).astype(np.float32)
+    vn = rng.standard_normal((B, Hk, Dh)).astype(np.float32)
+    start = np.array([0, 5, 17], np.int32)
+    pos = np.array([40, 200, 255 if s_view else 400], np.int32)
+
+    kq, ks = _quantize(kc)
+    vq, vs = _quantize(vc)
+    want = _reference(
+        q, kq.astype(np.float32) * ks[..., None],
+        vq.astype(np.float32) * vs[..., None], kn, vn, start, pos,
+    )
+
+    got = paired_decode_attention(
+        jnp.asarray(q),
+        pack_cache_paired(jnp.asarray(kq)),
+        pack_cache_paired(jnp.asarray(vq)),
+        jnp.asarray(kn), jnp.asarray(vn),
+        jnp.asarray(start), jnp.asarray(pos),
+        k_scale=pack_scales_paired(jnp.asarray(ks)),
+        v_scale=pack_scales_paired(jnp.asarray(vs)),
+        s_view=s_view, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=2e-5)
+
+
+def test_pack_scales_roundtrip():
+    rng = np.random.default_rng(4)
+    s = rng.standard_normal((5, 7, 6)).astype(np.float32)  # [B?, S, Hk]
+    packed = np.asarray(pack_scales_paired(jnp.asarray(s)))
+    assert packed.shape == (5, 3, 2, 7)
+    # pair p row 0 == head 2p, row 1 == head 2p+1, seq-last
+    np.testing.assert_array_equal(packed[:, 1, 0], s[:, :, 2])
+    np.testing.assert_array_equal(packed[:, 1, 1], s[:, :, 3])
 
 
 def test_view_ignores_tail_garbage():
