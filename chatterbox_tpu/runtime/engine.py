@@ -407,17 +407,20 @@ class TTSEngine:
                         key_shape,
                     ).compile()
 
-                await asyncio.to_thread(compile_bucket)
-                compiled += 1
+                try:
+                    await asyncio.to_thread(compile_bucket)
+                    compiled += 1
+                except Exception as exc:
+                    log.warning("precompile: S3Gen bucket %d failed (%s)", T, exc)
                 # micro-batched (vmapped) variants: first concurrent traffic
                 # otherwise stalls ~10 s per (bucket, batch) combination
                 if self.s3gen_scheduler is not None:
                     # every power-of-two batch the scheduler's coalescing can
-                    # form, including the single-job variant (not a hardcoded
-                    # set — ADVICE r2)
+                    # form at this bucket (not a hardcoded set — ADVICE r2;
+                    # bounded by the bucket's token-product HBM cap)
                     batch_sizes = []
                     b = 1
-                    while b <= self.s3gen_scheduler.max_batch:
+                    while b <= self.s3gen_scheduler.allowed_batch(T):
                         batch_sizes.append(b)
                         b *= 2
                     state_len = self.s3gen_scheduler.state_len
@@ -439,8 +442,18 @@ class TTSEngine:
                                 jax.ShapeDtypeStruct((Bv,), jnp.int32),
                             ).compile()
 
-                        await asyncio.to_thread(compile_batched)
-                        compiled += 1
+                        try:
+                            await asyncio.to_thread(compile_batched)
+                            compiled += 1
+                        except Exception as exc:
+                            # an unbuildable variant (HBM OOM) must not kill
+                            # precompile NOR stay dispatchable: ban it so the
+                            # scheduler forms smaller batches at this bucket
+                            log.warning(
+                                "precompile: S3Gen (bucket=%d, batch=%d) "
+                                "failed (%s); banned", T, Bv, exc)
+                            self.s3gen_scheduler.ban_batch(T, Bv)
+                            break
             if self.decoder is not None:
                 from .scheduler import LOOKAHEAD_STEPS
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import asyncio
 import dataclasses
+import os
 import time as _time
 from typing import Dict, List, Optional, Tuple
 
@@ -71,6 +72,18 @@ class S3GenScheduler:
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
+        # HBM guard: flow attention activations grow ~quadratically with the
+        # token bucket, so batch×bucket must be capped — batch 16 at the
+        # 1032-token bucket compiles to an 18.85 GB graph on a 15.75 GB v5e
+        # (measured r3 serve_bench OOM). The token-product budget keeps every
+        # reachable (bucket, batch) variant inside HBM: 16×256, 8×512, 4×1032.
+        self.batch_token_budget = int(
+            os.environ.get("CHATTERBOX_S3GEN_BATCH_TOKENS", "4096")
+        )
+        # (bucket → max batch) learned from compile failures: a variant that
+        # OOMs at precompile (engine._precompile) or at dispatch is banned and
+        # the batch re-forms smaller — requests never fail on a bad variant.
+        self._batch_cap: Dict[int, int] = {}
         self.state_len = state_tokens * cfg.samples_per_token
         self._infer = infer or (
             lambda params, tk, tl, rf, sr, cl, ky: s3gen_inference(
@@ -110,6 +123,21 @@ class S3GenScheduler:
 
     def _tail_len(self, T: int) -> int:
         return min(MAX_TAIL_TOKENS, T) * self.cfg.samples_per_token
+
+    def allowed_batch(self, T: int) -> int:
+        """Largest power-of-two batch the scheduler may form at bucket T."""
+        b = self.max_batch
+        while b > 1 and b * T > self.batch_token_budget:
+            b //= 2
+        return max(1, min(b, self._batch_cap.get(T, b)))
+
+    def ban_batch(self, T: int, B: int) -> None:
+        """Record that the (T, B) variant failed to compile/run; future
+        batches at this bucket stay strictly below B."""
+        cur = self._batch_cap.get(T, self.max_batch)
+        self._batch_cap[T] = max(1, min(cur, B // 2))
+        log.warning("S3Gen variant (bucket=%d, batch=%d) banned; cap now %d",
+                    T, B, self._batch_cap[T])
 
     def _infer_fn(self, T: int, B: int):
         jit_key = (T, B)
@@ -196,7 +224,7 @@ class S3GenScheduler:
             # every dispatch costs ~30 ms of round-trip, so fewer, larger
             # calls matter beyond MXU utilization.
             take = 1
-            while take * 2 <= min(len(queue), self.max_batch):
+            while take * 2 <= min(len(queue), self.allowed_batch(bucket)):
                 take *= 2
             jobs, queue[:] = queue[:take], queue[take:]
             B, T = len(jobs), bucket
@@ -246,6 +274,15 @@ class S3GenScheduler:
                         job.future.cancel()
                 raise
             except Exception as exc:
+                if B > 1:
+                    # compile/dispatch failure (e.g. HBM OOM on a large
+                    # bucket×batch graph): ban the variant and retry the same
+                    # jobs at a smaller batch — only a B=1 failure is fatal
+                    log.warning("S3Gen batch (bucket=%d, batch=%d) failed "
+                                "(%s); retrying smaller", bucket, B, exc)
+                    self.ban_batch(bucket, B)
+                    self._queues[bucket][:0] = jobs
+                    continue
                 log.exception("S3Gen batch failed")
                 for job in jobs:
                     if not job.future.done():

@@ -42,6 +42,9 @@ VARIANTS = [
     ("cfm_steps_6", {"CHATTERBOX_CFM_STEPS": "6"}),
     ("overlap_window_105", {"CHATTERBOX_OVERLAP_WINDOW_TOKENS": "105"}),
     ("overlap_window_70", {"CHATTERBOX_OVERLAP_WINDOW_TOKENS": "70"}),
+    ("flow_prompt_125", {"CHATTERBOX_FLOW_PROMPT_TOKENS": "125"}),
+    ("cfm8_overlap105", {"CHATTERBOX_CFM_STEPS": "8",
+                         "CHATTERBOX_OVERLAP_WINDOW_TOKENS": "105"}),
     ("kv_native", {"CHATTERBOX_KV": "native"}),
 ]
 

@@ -151,7 +151,7 @@ async def run(args) -> None:
             capacity = {}
             for overlap in ("full", "zero"):
                 cap, base = 0, 3000
-                for n in (4, 6, 8, 10, 12, 14, 16):
+                for n in (4, 6, 8, 10, 12, 14, 16, 18, 20, 24):
                     if n > args.streams:
                         break
                     out = await run_wave(n, overlap, base + 100 * n)
@@ -204,6 +204,10 @@ def main() -> None:
     # (config.py CONCURRENT_REQUESTS_PER_WORKER) — a load test must lift it
     # or it measures queue wait, not serving capacity
     os.environ.setdefault("CONCURRENT_REQUESTS_PER_WORKER", str(args.streams))
+    # random weights never emit EOS, so cap decode at ~10 s audio per text
+    # chunk — matches real-checkpoint EOS behavior (BENCH_NOTES r2); without
+    # it the "full"-overlap quadratic re-synthesis dwarfs any real workload
+    os.environ.setdefault("CHATTERBOX_MAX_NEW_TOKENS", "250")
     if args.tiny:
         os.environ.setdefault("CHATTERBOX_TINY_MODEL", "1")
     # the TPU backend must be touched on the main thread BEFORE any asyncio

@@ -148,3 +148,48 @@ def test_error_propagates(setup):
             sched.stop()
 
     asyncio.run(run())
+
+
+def test_allowed_batch_token_product_cap(setup):
+    """HBM guard: batch×bucket is capped by the token-product budget
+    (measured r3: batch 16 at the 1032-token bucket compiles to 18.85 GB on
+    a 15.75 GB v5e), and compile/dispatch failures ratchet the cap down."""
+    params, ref = setup
+    sched = S3GenScheduler(params, CFG, max_batch=16, state_tokens=STATE_TOKENS)
+    sched.batch_token_budget = 4096
+    assert sched.allowed_batch(256) == 16
+    assert sched.allowed_batch(264) == 8
+    assert sched.allowed_batch(512) == 8
+    assert sched.allowed_batch(1032) == 2
+    sched.ban_batch(1032, 2)
+    assert sched.allowed_batch(1032) == 1
+    sched.ban_batch(256, 16)
+    assert sched.allowed_batch(256) == 8
+
+
+def test_batch_failure_retries_smaller(setup):
+    """A failing batch>1 dispatch must re-queue the jobs at a smaller batch
+    instead of failing the requests (only batch=1 failures are fatal)."""
+    params, ref = setup
+
+    async def run():
+        sched = S3GenScheduler(params, CFG, max_batch=4, state_tokens=STATE_TOKENS)
+        # poison the batch-4 variant with a stub that always raises
+        sched._jit[(4, 4)] = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("synthetic OOM"))
+        try:
+            outs = await asyncio.gather(*[
+                sched.synthesize(
+                    np.zeros((4,), np.int32), 4, ref, None, 0,
+                    jax.random.PRNGKey(i),
+                )
+                for i in range(4)
+            ])
+            assert len(outs) == 4
+            for tail, start, state in outs:
+                assert np.asarray(tail).ndim == 1
+            # the failed variant is banned for the rest of the process
+            assert sched.allowed_batch(4) <= 2
+        finally:
+            sched.stop()
+
+    asyncio.run(run())
