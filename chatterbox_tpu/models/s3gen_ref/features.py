@@ -47,6 +47,16 @@ def _mask_wav(wav: jnp.ndarray, lens: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.arange(wav.shape[1])[None, :] < lens[:, None], wav, 0.0)
 
 
+def reflect_tail(wav: jnp.ndarray, lens: jnp.ndarray) -> jnp.ndarray:
+    """Fill the padding past each row's valid length with the reflection of
+    its tail: sample i >= len reads 2*len - 2 - i (librosa/torch 'reflect').
+    A framed feature whose last window crosses the valid end then sees the
+    same samples it would on the true-length, reflect-padded waveform."""
+    idx = jnp.arange(wav.shape[1])[None, :]
+    refl = jnp.clip(2 * lens[:, None] - 2 - idx, 0, wav.shape[1] - 1)
+    return jnp.where(idx < lens[:, None], wav, jnp.take_along_axis(wav, refl, axis=1))
+
+
 # ------------------------------------------------------------------- hifigan
 def hifigan_log_mel(wav24: jnp.ndarray) -> jnp.ndarray:
     """[B, L] 24 kHz → [B, L//480, 80] natural-log mel (floor 1e-5).

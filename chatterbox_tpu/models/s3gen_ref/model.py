@@ -25,7 +25,7 @@ from ...ops.nn import linear
 from .campplus import campplus_embed, init_campplus_params
 from .config import S3GenRefConfig
 from .decoder import cfm_generate, init_estimator_params
-from .features import hifigan_log_mel, kaldi_fbank
+from .features import hifigan_log_mel, kaldi_fbank, reflect_tail
 from .hift import hift_decode, init_hift_params, make_source, predict_f0
 from .tokenizer import init_s3tok_ref_params, s3tok_ref_tokenize
 from .upsample_encoder import init_upsample_encoder_params, upsample_encode
@@ -66,7 +66,12 @@ def s3gen_ref_embed_ref(
     wav16_len: jnp.ndarray,  # [B]
 ) -> Dict:
     """Voice conditioning dict (cached per voice_id by the engine)."""
-    mel = hifigan_log_mel(wav24)                            # [B, F, 80]
+    # Reflect the valid tail into the zero-padded static buffer: for prompts
+    # shorter than the 10 s budget the last mel frame's window extends up to
+    # (n_fft - hop)/2 = 720 samples past wav24_len, and the reference
+    # extractor sees REFLECTED audio there (its input is the true-length
+    # waveform, reflect-padded), not zeros (ADVICE r2).
+    mel = hifigan_log_mel(reflect_tail(wav24, wav24_len))   # [B, F, 80]
     Pm, P = cfg.max_prompt_mel, cfg.max_prompt_tokens
     if mel.shape[1] < Pm:
         mel = jnp.pad(mel, ((0, 0), (0, Pm - mel.shape[1]), (0, 0)))

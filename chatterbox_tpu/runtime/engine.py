@@ -330,6 +330,21 @@ class TTSEngine:
 
     async def ainit(self) -> None:
         try:
+            # to_thread tasks here are device-wait-bound, not CPU-bound: one
+            # decode slice + per-stream S3Gen dispatches + stream emitters all
+            # block in tunnel round-trips concurrently. The default executor
+            # sizes by CPU count (min(32, cpus+4) = 5 workers on a 1-CPU
+            # tunnel host), so dispatches QUEUE behind each other — measured
+            # r3: decode slices waited ~49 s for a worker while S3Gen
+            # first-call traces held the pool. Size for in-flight device
+            # waits, not cores.
+            import concurrent.futures
+
+            asyncio.get_running_loop().set_default_executor(
+                concurrent.futures.ThreadPoolExecutor(
+                    max_workers=64, thread_name_prefix="chatterbox-io"
+                )
+            )
             self._state = InitializationState.INITIALIZING
             self._progress = "Initializing models..."
             await asyncio.to_thread(self._init_models)
@@ -368,82 +383,180 @@ class TTSEngine:
             log.exception("Engine initialization failed")
             raise
 
+    def _reachable_token_cap(self) -> int:
+        """Largest accumulated-token count one text chunk can feed S3Gen:
+        per-chunk decode stops at ``max_new_tokens`` (+1 appended EOS code).
+        Precompiling the ladder past this wastes minutes per unreachable
+        (bucket, batch) variant on this 1-CPU host (trace+lower dominates)."""
+        return min(self.cfg.t3.max_speech_tokens + 8, self.cfg.max_new_tokens + 2)
+
+    def _reachable_view_cap(self, depth: int, slice_size: int) -> int:
+        """Largest 256-aligned attention view the serving path can request:
+        position ≤ prefill end + per-chunk decode cap, +slice overshoot."""
+        t3c = self.cfg.t3
+        pos_cap = (
+            t3c.cond_len + t3c.max_text_tokens + 1
+            + min(t3c.max_speech_tokens, self.cfg.max_new_tokens + 1)
+            + slice_size + 1
+        )
+        return min(depth, ((pos_cap + 255) // 256) * 256)
+
+    def _precompile_plan(self) -> Dict[str, list]:
+        """Every jit variant the serving path can request, enumerated with
+        the SAME helpers the live path uses (snap/bucket/look-ahead/view
+        formulas). tests/test_precompile_plan.py simulates live demand and
+        asserts it is a subset of this plan — a variant missing here stalls
+        first traffic for its compile instead (measured r3: minutes-long
+        batched-S3Gen and ~12 s/view decode compiles mid-wave).
+
+        Keys: ``s3gen`` [T...], ``s3gen_batched`` [(T, B)...],
+        ``decode`` [(n_steps, s_view)...], ``insert`` [T_pad...]."""
+        tts_cfg = get_tts_config()
+        slice_size = max(1, min(tts_cfg.AUDIO_TOKENS_PER_SLICE, self.cfg.max_new_tokens))
+        t3c = self.cfg.t3
+        cap = self._reachable_token_cap()
+        # every bucket reachable through the snapped slice-size knob:
+        # per-size exact-fit first buckets + the shared doubling ladder
+        buckets: list = []
+        for s in sorted({_snap_slice_size(s, self.cfg.max_new_tokens) for s in SLICE_SIZE_SNAP}):
+            for b in _token_bucket_sizes(s, cap):
+                if b not in buckets:
+                    buckets.append(b)
+        # compile order = likely-use order (background compiles race first
+        # traffic): the DEFAULT slice size's ladder first, exotic
+        # audio_tokens_per_slice buckets last
+        default_ladder = _token_bucket_sizes(slice_size, cap)
+        ordered = [b for b in default_ladder if b in buckets]
+        ordered += [b for b in sorted(buckets) if b not in ordered]
+        plan: Dict[str, list] = {
+            "s3gen": ordered,
+            "s3gen_batched": [],
+            "decode": [],
+            "insert": [],
+        }
+        if self.s3gen_scheduler is not None:
+            # every power-of-two batch the scheduler's coalescing can form
+            # at each bucket (bounded by the token-product HBM budget)
+            for T in plan["s3gen"]:
+                b = 1
+                while b <= self.s3gen_scheduler.allowed_batch(T):
+                    plan["s3gen_batched"].append((T, b))
+                    b *= 2
+        if self.decoder is not None:
+            from .scheduler import LOOKAHEAD_STEPS
+
+            dec_slice = self.decoder.slice_size
+            if t3c.kv_cache_layout == "paired":
+                view_cap = self._reachable_view_cap(t3c.max_seq_len, dec_slice)
+                views = sorted(
+                    {min(t3c.max_seq_len, v) for v in range(256, view_cap + 1, 256)}
+                )
+            else:
+                views = [None]
+            lengths = sorted({dec_slice} | set(LOOKAHEAD_STEPS))
+            plan["decode"] = [(n, v) for v in views for n in lengths]
+            # prefill-insert variants: one per reachable text bucket
+            # (compiled live these cost ~15 s each mid-wave)
+            plan["insert"] = [
+                _bucket(t, self.cfg.text_bucket, t3c.max_text_tokens)
+                for t in range(1, t3c.max_text_tokens + 1, self.cfg.text_bucket)
+            ]
+            plan["insert"] = sorted(set(plan["insert"]))
+        else:
+            # single-slot serving path: decode views for the smallest text
+            # bucket only (the common case; per-request cache depth varies
+            # with the text bucket, so full coverage is combinatorial)
+            depth = t3c.cond_len + self.cfg.text_bucket + 1 + t3c.max_speech_tokens
+            if t3c.kv_cache_layout == "paired":
+                view_cap = self._reachable_view_cap(depth, slice_size)
+                views = sorted({min(depth, v) for v in range(256, view_cap + 1, 256)})
+            else:
+                views = [None]
+            n_steps = set()
+            for s in SLICE_SIZE_SNAP:
+                s = _snap_slice_size(s, self.cfg.max_new_tokens)
+                n_steps.add(s)
+                n_steps.add(min(_lookahead_size(s), self.cfg.max_new_tokens))
+            plan["decode"] = [(n, v) for v in views for n in sorted(n_steps)]
+        return plan
+
     async def _precompile(self) -> None:
-        """Background-compile the remaining graph variants (S3Gen token
-        buckets, decode attention views) via lower().compile(), populating
-        the persistent XLA cache so first requests never pay a compile.
-        Uses abstract shapes — no device memory is allocated."""
+        """Background-warm every graph variant in _precompile_plan with one
+        REAL dispatch each (dummy zero inputs). A real dispatch populates the
+        jit DISPATCH cache in addition to the persistent XLA cache —
+        lower().compile() fills only the latter, so first traffic re-traced
+        every variant (~10-60 s of single-CPU host work each) and the
+        re-traces starved the small default thread pool into ~49 s/slice
+        decode walls (measured, r3 serving wave). Decode/insert warms are
+        serialized with live traffic through the decoder loop
+        (BatchedT3Decoder.warm_variants); S3Gen infer fns donate nothing and
+        are safe to warm concurrently with traffic."""
         shape_of = lambda tree: jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree
         )
-        tts_cfg = get_tts_config()
-        slice_size = max(1, min(tts_cfg.AUDIO_TOKENS_PER_SLICE, self.cfg.max_new_tokens))
         t3c = self.cfg.t3
         s3c = self.gen_cfg
         spt = s3c.samples_per_token
         compiled = 0
         try:
+            plan = self._precompile_plan()
             conds = self.voice_cache["default"]
-            ref_shapes = shape_of(conds.gen_ref)
             params_shapes = shape_of(self.params)
-            key_shape = jax.ShapeDtypeStruct((2,), jnp.uint32)
-            # every bucket reachable through the snapped slice-size knob:
-            # per-size exact-fit first buckets + the shared doubling ladder
-            cap = t3c.max_speech_tokens + 8
-            buckets: list = []
-            for s in sorted({_snap_slice_size(s, self.cfg.max_new_tokens) for s in SLICE_SIZE_SNAP}):
-                for b in _token_bucket_sizes(s, cap):
-                    if b not in buckets:
-                        buckets.append(b)
-            for T in sorted(buckets):
-                def compile_bucket(T=T):
-                    self._jit_s3gen().lower(
-                        params_shapes["s3gen"],
-                        jax.ShapeDtypeStruct((1, T), jnp.int32),
-                        jax.ShapeDtypeStruct((1,), jnp.int32),
-                        ref_shapes,
-                        jax.ShapeDtypeStruct((1, T * spt), jnp.float32),
-                        jax.ShapeDtypeStruct((1,), jnp.int32),
-                        key_shape,
-                    ).compile()
+            batched_by_T: Dict[int, list] = {}
+            for T, Bv in plan["s3gen_batched"]:
+                batched_by_T.setdefault(T, []).append(Bv)
+            # decode slices + prefill inserts first: they are cheap to build
+            # and on EVERY request's critical path; the S3Gen bucket ladder
+            # (minutes per big batched variant) follows
+            if self.decoder is not None:
+                await self.decoder.warm_variants(
+                    plan["decode"], plan["insert"], conds.t3_cond_lanes
+                )
+                compiled += len(plan["decode"]) + len(plan["insert"])
+            for T in plan["s3gen"]:
+                def warm_bucket(T=T):
+                    w, _ = self._jit_s3gen()(
+                        self.params["s3gen"],
+                        jnp.zeros((1, T), jnp.int32),
+                        jnp.full((1,), T, jnp.int32),
+                        conds.gen_ref,
+                        jnp.zeros((1, T * spt), jnp.float32),
+                        jnp.zeros((1,), jnp.int32),
+                        jax.random.PRNGKey(0),
+                    )
+                    jax.block_until_ready(w)
 
                 try:
-                    await asyncio.to_thread(compile_bucket)
+                    await asyncio.to_thread(warm_bucket)
                     compiled += 1
                 except Exception as exc:
                     log.warning("precompile: S3Gen bucket %d failed (%s)", T, exc)
                 # micro-batched (vmapped) variants: first concurrent traffic
                 # otherwise stalls ~10 s per (bucket, batch) combination
                 if self.s3gen_scheduler is not None:
-                    # every power-of-two batch the scheduler's coalescing can
-                    # form at this bucket (not a hardcoded set — ADVICE r2;
-                    # bounded by the bucket's token-product HBM cap)
-                    batch_sizes = []
-                    b = 1
-                    while b <= self.s3gen_scheduler.allowed_batch(T):
-                        batch_sizes.append(b)
-                        b *= 2
                     state_len = self.s3gen_scheduler.state_len
-                    for Bv in batch_sizes:
-                        def compile_batched(T=T, Bv=Bv):
+                    for Bv in sorted(batched_by_T.get(T, [])):
+                        if Bv > self.s3gen_scheduler.allowed_batch(T):
+                            break  # a ban earlier in this loop shrank the cap
+                        def warm_batched(T=T, Bv=Bv):
                             rB = jax.tree.map(
-                                lambda s: jax.ShapeDtypeStruct((Bv,) + s.shape, s.dtype),
-                                ref_shapes,
+                                lambda x: jnp.stack([x] * Bv, 0), conds.gen_ref
                             )
-                            self.s3gen_scheduler._infer_fn(T, Bv).lower(
-                                params_shapes["s3gen"],
-                                jax.ShapeDtypeStruct((Bv, 1, T), jnp.int32),
-                                jax.ShapeDtypeStruct((Bv, 1), jnp.int32),
+                            tails, _ = self.s3gen_scheduler._infer_fn(T, Bv)(
+                                self.params["s3gen"],
+                                jnp.zeros((Bv, 1, T), jnp.int32),
+                                jnp.full((Bv, 1), T, jnp.int32),
                                 rB,
-                                jax.ShapeDtypeStruct((Bv, state_len), jnp.float32),
-                                jax.ShapeDtypeStruct((Bv, 1), jnp.int32),
-                                jax.ShapeDtypeStruct((Bv, 2), jnp.uint32),
-                                jax.ShapeDtypeStruct((Bv,), jnp.int32),
-                                jax.ShapeDtypeStruct((Bv,), jnp.int32),
-                            ).compile()
+                                jnp.zeros((Bv, state_len), jnp.float32),
+                                jnp.zeros((Bv, 1), jnp.int32),
+                                jnp.stack([jax.random.PRNGKey(0)] * Bv),
+                                jnp.zeros((Bv,), jnp.int32),
+                                jnp.zeros((Bv,), jnp.int32),
+                            )
+                            jax.block_until_ready(tails)
 
                         try:
-                            await asyncio.to_thread(compile_batched)
+                            await asyncio.to_thread(warm_batched)
                             compiled += 1
                         except Exception as exc:
                             # an unbuildable variant (HBM OOM) must not kill
@@ -454,36 +567,10 @@ class TTSEngine:
                                 "failed (%s); banned", T, Bv, exc)
                             self.s3gen_scheduler.ban_batch(T, Bv)
                             break
-            if self.decoder is not None:
-                from .scheduler import LOOKAHEAD_STEPS
-
-                cache_shapes = shape_of(self.decoder.cache)
-                state_shapes = shape_of(self.decoder.state)
-                if t3c.kv_cache_layout == "paired":
-                    views = sorted(
-                        {
-                            min(t3c.max_seq_len, ((v + 255) // 256) * 256)
-                            for v in range(256, t3c.max_seq_len + 256, 256)
-                        }
-                    )
-                else:
-                    views = [None]
-                lengths = sorted({slice_size} | set(LOOKAHEAD_STEPS))
-                for s_view in views:
-                    for n in lengths:
-                        def compile_view(s_view=s_view, n=n):
-                            t3_decode_slice.lower(
-                                params_shapes["t3"], t3c, cache_shapes, state_shapes,
-                                n, s_view,
-                            ).compile()
-
-                        await asyncio.to_thread(compile_view)
-                        compiled += 1
-            else:
+            if self.decoder is None:
                 # single-slot serving path: warm the per-request decode views
                 # for the smallest text bucket (the common case)
-                P = t3c.cond_len + self.cfg.text_bucket
-                depth = P + 1 + t3c.max_speech_tokens
+                depth = t3c.cond_len + self.cfg.text_bucket + 1 + t3c.max_speech_tokens
                 Hk, Dh, L = t3c.num_kv_heads, t3c.head_dim, t3c.num_layers
                 dt = jax.tree.leaves(self.params["t3"])[0].dtype
                 if t3c.kv_cache_layout == "paired":
@@ -505,29 +592,15 @@ class TTSEngine:
                 state_shapes = shape_of(
                     make_decode_state(jax.random.PRNGKey(0), t3c, 1, 0.8, 0.95, 0.5, 1.2)
                 )
-                if t3c.kv_cache_layout == "paired":
-                    views = sorted(
-                        {min(depth, v) for v in range(256, depth + 256, 256)}
-                    )
-                else:
-                    views = [None]
-                # all decode-slice lengths reachable via the snapped knob,
-                # plus their first-slice look-ahead lengths
-                n_steps = set()
-                for s in SLICE_SIZE_SNAP:
-                    s = _snap_slice_size(s, self.cfg.max_new_tokens)
-                    n_steps.add(s)
-                    n_steps.add(min(_lookahead_size(s), self.cfg.max_new_tokens))
-                for s_view in views:
-                    for n in sorted(n_steps):
-                        def compile_view(s_view=s_view, n=n):
-                            t3_decode_slice.lower(
-                                params_shapes["t3"], t3c, cache_shapes, state_shapes,
-                                n, s_view,
-                            ).compile()
+                for n, s_view in plan["decode"]:
+                    def compile_view(s_view=s_view, n=n):
+                        t3_decode_slice.lower(
+                            params_shapes["t3"], t3c, cache_shapes, state_shapes,
+                            n, s_view,
+                        ).compile()
 
-                        await asyncio.to_thread(compile_view)
-                        compiled += 1
+                    await asyncio.to_thread(compile_view)
+                    compiled += 1
             log.info("Precompiled %d graph variants in the background", compiled)
         except asyncio.CancelledError:
             raise
@@ -1208,7 +1281,7 @@ class TTSEngine:
         spt = s3c.samples_per_token
         fade_len = int(self.sr * crossfade_ms / 1000.0)
         stitcher = CrossfadeStitcher(fade_len)
-        buckets = _token_bucket_sizes(slice_size, self.cfg.t3.max_speech_tokens + 8)
+        buckets = _token_bucket_sizes(slice_size, self._reachable_token_cap())
         # request-stable noise key → deterministic re-synthesis (seam continuity)
         base_key = jax.random.fold_in(jax.random.PRNGKey(1234), _stable_seed(request_id))
 

@@ -130,6 +130,8 @@ class BatchedT3Decoder:
         self._insert_jit = {}
         self._reset_jit = None
         self._finish_jit = None
+        # pending warm jobs: [(decode_variants, insert_pads, lanes, future)]
+        self._warm: List[tuple] = []
 
     # ------------------------------------------------------------ jit helpers
     def _insert_fn(self, T_pad: int):
@@ -245,6 +247,12 @@ class BatchedT3Decoder:
         if self._task is not None:
             self._task.cancel()
             self._task = None
+        # a warm_variants caller must not hang on a future the dead loop
+        # will never resolve
+        for job in self._warm:
+            if not job[3].done():
+                job[3].cancel()
+        self._warm.clear()
 
     # -------------------------------------------------------------- client
     async def decode_chunk(
@@ -300,10 +308,14 @@ class BatchedT3Decoder:
 
             def do_insert():
                 insert = self._insert_fn(sub.text.shape[1])
+                # slot as a strong i32 scalar: a bare Python int traces
+                # weak-typed, which would be a DIFFERENT jit variant than the
+                # one _precompile lowers (first admission would recompile)
                 self.cache = insert(
                     self.cache, self.params,
                     jnp.asarray(sub.cond_lanes), jnp.asarray(sub.text),
-                    jnp.full((2,), sub.text_len, jnp.int32), slot,
+                    jnp.full((2,), sub.text_len, jnp.int32),
+                    jnp.asarray(slot, jnp.int32),
                 )
                 self.state = self._reset_fn()(
                     self.state, slot, sub.temperature, sub.top_p,
@@ -340,6 +352,69 @@ class BatchedT3Decoder:
             self._cancels[slot] = sub.cancellation
             sub.slot_future.set_result(slot)
 
+    async def warm_variants(
+        self, decode_variants, insert_pads, cond_lanes
+    ) -> None:
+        """One REAL dispatch per (n_steps, s_view) decode variant and per
+        insert text bucket, serialized with live traffic through the
+        scheduler loop (the shared cache/state are donated on every call, so
+        a dispatch outside the loop would race live slices).
+
+        Real dispatches — unlike lower().compile(), which only fills the
+        persistent XLA cache — also populate the jit DISPATCH cache, so first
+        traffic pays neither trace nor compile (measured r3: re-trace +
+        deserialize at first traffic starved the 5-thread default executor
+        into ~49 s/slice decode walls). With every slot idle a decode slice
+        is a semantic no-op (done slots idle in place); a warm insert writes
+        a free slot's lanes, which the next real admission fully overwrites.
+        Warm steps only run while NO slot is active, one variant at a time,
+        so a request arriving mid-warm is admitted between steps."""
+        self.start()
+        fut = asyncio.get_running_loop().create_future()
+        self._warm.append(
+            (list(decode_variants), list(insert_pads), np.asarray(cond_lanes), fut)
+        )
+        self._wake.set()
+        await fut
+
+    async def _warm_step(self) -> None:
+        variants, inserts, lanes, fut = self._warm[0]
+        try:
+            if variants:
+                n, s_view = variants.pop(0)
+
+                def run_decode():
+                    toks, cache, state = t3_decode_slice(
+                        self.params, self.cfg, self.cache, self.state, n, s_view
+                    )
+                    self.cache, self.state = cache, state
+                    jax.block_until_ready(toks)
+
+                await asyncio.to_thread(run_decode)
+            elif inserts:
+                T_pad = inserts.pop(0)
+                slot = self._free[0]  # no active slots → never empty
+
+                def run_insert():
+                    insert = self._insert_fn(T_pad)
+                    self.cache = insert(
+                        self.cache, self.params, jnp.asarray(lanes),
+                        jnp.zeros((2, T_pad), jnp.int32),
+                        jnp.full((2,), 1, jnp.int32),
+                        jnp.asarray(slot, jnp.int32),
+                    )
+                    jax.block_until_ready(self.cache["pos"])
+
+                await asyncio.to_thread(run_insert)
+        except asyncio.CancelledError:
+            raise
+        except Exception:
+            log.warning("decoder warm step failed (continuing)", exc_info=True)
+        if not variants and not inserts:
+            self._warm.pop(0)
+            if not fut.done():
+                fut.set_result(None)
+
     def _release(self, slot: int) -> None:
         q = self._queues.pop(slot, None)
         if q is not None:
@@ -358,6 +433,9 @@ class BatchedT3Decoder:
                 await self._admit()
                 active = [s for s in range(self.n_slots) if s in self._queues]
                 if not active:
+                    if self._warm:
+                        await self._warm_step()
+                        continue
                     self._wake.clear()
                     await self._wake.wait()
                     continue

@@ -47,6 +47,24 @@ def test_hifigan_mel_shape_and_rate():
     assert np.allclose(np.asarray(mel), np.log(1e-5), atol=1e-4)  # silence → floor
 
 
+def test_reflect_tail_matches_numpy_reflect_pad():
+    """Padding past the valid length must equal numpy 'reflect' of the tail,
+    so the last mel frame of a short prompt matches the reference extractor
+    (which reflect-pads the TRUE-length waveform — ADVICE r2)."""
+    from chatterbox_tpu.models.s3gen_ref.features import reflect_tail
+
+    rng = np.random.default_rng(3)
+    L, buf = 1003, 2048
+    wav = rng.standard_normal(L).astype(np.float32)
+    big = np.zeros((1, buf), np.float32)
+    big[0, :L] = wav
+    out = np.asarray(reflect_tail(jnp.asarray(big), jnp.array([L])))
+    ref = np.pad(wav, (0, buf - L), mode="reflect")
+    # single-reflection region is what the mel window can read: up to
+    # (n_fft - hop)/2 = 720 samples past the valid end
+    np.testing.assert_allclose(out[0, : L + 720], ref[: L + 720], rtol=0, atol=0)
+
+
 def test_whisper_mel_shape():
     wav = jnp.zeros((1, 16000))
     mel, n = whisper_log_mel(wav, jnp.array([16000]))
