@@ -15,5 +15,6 @@ from .model import (  # noqa: F401
     init_s3gen_ref_params,
     s3gen_ref_embed_ref,
     s3gen_ref_inference,
+    s3gen_ref_inference_tail,
 )
 from .tokenizer import s3tok_ref_tokenize  # noqa: F401

@@ -120,7 +120,7 @@ def _left_pack(
     return packed, mask
 
 
-def s3gen_ref_inference(
+def _mel_and_source(
     params: Dict,
     cfg: S3GenRefConfig,
     tokens: jnp.ndarray,        # [B, T] generated speech tokens, right-padded
@@ -130,7 +130,9 @@ def s3gen_ref_inference(
     cache_len: jnp.ndarray,     # [B] valid samples in source_cache
     key: jax.Array,             # request-stable key (determinism = seam continuity)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One streaming chunk → (wav [B, T·spt], new_source_cache [B, T·spt])."""
+    """Shared front of chunk inference: encoder → CFM mel → NSF excitation
+    with the cache-override contract. → (mel_gen [B, T·fpt, 80],
+    source [B, T·spt])."""
     B, T = tokens.shape
     fl = cfg.flow
     P = cfg.max_prompt_tokens
@@ -168,11 +170,80 @@ def s3gen_ref_inference(
     gen_frame_valid = valid_f[:, Pm:]
     mel_gen = jnp.where(gen_frame_valid[:, :, None], mel_gen, 0.0)
 
-    # HiFT with excitation continuity (reference cache_source contract)
+    # HiFT excitation with continuity (reference cache_source contract)
     f0 = predict_f0(params["mel2wav"], cfg.hift, mel_gen)            # [B, T·fpt]
     source = make_source(params["mel2wav"], cfg.hift, f0, jax.random.fold_in(key, 1))
     L = T * spt
     idx = jnp.arange(L)[None, :]
     source = jnp.where(idx < cache_len[:, None], source_cache[:, :L].astype(source.dtype), source)
+    return mel_gen, source
+
+
+def s3gen_ref_inference(
+    params: Dict,
+    cfg: S3GenRefConfig,
+    tokens: jnp.ndarray,        # [B, T] generated speech tokens, right-padded
+    token_len: jnp.ndarray,     # [B]
+    ref: Dict,                  # from s3gen_ref_embed_ref
+    source_cache: jnp.ndarray,  # [B, T*samples_per_token] excitation prefix
+    cache_len: jnp.ndarray,     # [B] valid samples in source_cache
+    key: jax.Array,             # request-stable key (determinism = seam continuity)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One streaming chunk → (wav [B, T·spt], new_source_cache [B, T·spt])."""
+    mel_gen, source = _mel_and_source(
+        params, cfg, tokens, token_len, ref, source_cache, cache_len, key
+    )
     wav = hift_decode(params["mel2wav"], cfg.hift, mel_gen, source)
     return wav, source
+
+
+def s3gen_ref_inference_tail(
+    params: Dict,
+    cfg: S3GenRefConfig,
+    tokens: jnp.ndarray,        # [B, T] generated speech tokens, right-padded
+    token_len: jnp.ndarray,     # [B]
+    ref: Dict,                  # from s3gen_ref_embed_ref
+    source_cache: jnp.ndarray,  # [B, T*samples_per_token] excitation prefix
+    cache_len: jnp.ndarray,     # [B] valid samples in source_cache
+    key: jax.Array,
+    start: jnp.ndarray,         # [B] first wanted output sample (0 ≤ · ≤ T·spt − tail_len)
+    tail_len: int,              # static: samples returned per row
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Chunk inference that VOCODES only a window around the emitted tail →
+    (wav_tail [B, tail_len] == full wav[:, start:start+tail_len] exactly,
+    new_source_cache [B, T·spt]).
+
+    The reference re-synthesizes the full accumulated token stream every
+    slice in "full"-overlap mode but emits only the new tail
+    (/root/reference/src/tts_streaming.py:655-659, 681-688). Encoder/CFM are
+    bidirectional (prefix recompute is semantic), but the mel→wav stack is
+    LOCAL — convs + STFT windows — so vocoding a [start − margin,
+    start + tail + margin] window reproduces the emitted samples exactly
+    (margin = hift_receptive_margin) while the vocoder cost stays constant
+    per slice instead of growing with the accumulated length."""
+    from .hift import hift_receptive_margin
+
+    B, T = tokens.shape
+    fpt = cfg.flow.up_stride
+    spt = cfg.samples_per_token
+    mel_gen, source = _mel_and_source(
+        params, cfg, tokens, token_len, ref, source_cache, cache_len, key
+    )
+    # window extents in whole tokens (spt-aligned keeps mel/source in step)
+    margin_tok = -(-hift_receptive_margin(cfg.hift) // spt) + 1
+    tail_tok = -(-tail_len // spt)
+    win_tok = min(T, tail_tok + 2 * margin_tok)
+    w0_tok = jnp.clip(start // spt - margin_tok, 0, T - win_tok)     # [B]
+
+    def one(mel_b, src_b, w0_t, start_b):
+        mel_w = jax.lax.dynamic_slice(
+            mel_b, (w0_t * fpt, 0), (win_tok * fpt, mel_b.shape[1])
+        )
+        src_w = jax.lax.dynamic_slice(src_b, (w0_t * spt,), (win_tok * spt,))
+        wav_w = hift_decode(
+            params["mel2wav"], cfg.hift, mel_w[None], src_w[None]
+        )[0]
+        return jax.lax.dynamic_slice(wav_w, (start_b - w0_t * spt,), (tail_len,))
+
+    wav_tail = jax.vmap(one)(mel_gen, source, w0_tok, start)
+    return wav_tail, source

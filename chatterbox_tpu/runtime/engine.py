@@ -44,6 +44,7 @@ from ..models.s3gen_ref import (
     init_s3gen_ref_params,
     s3gen_ref_embed_ref,
     s3gen_ref_inference,
+    s3gen_ref_inference_tail,
     s3tok_ref_tokenize,
 )
 from ..models.s3tok import S3TokConfig, init_s3tok_params, s3tok_tokenize
@@ -363,6 +364,7 @@ class TTSEngine:
                 self.s3gen_scheduler = S3GenScheduler(
                     self.params["s3gen"], self.gen_cfg, infer=self._s3gen_infer_fn(),
                     state_tokens=self.cfg.t3.max_speech_tokens + 8,
+                    tail_infer=self._s3gen_tail_infer_fn(),
                 )
             self._progress = "Warming up compiled graphs..."
             await asyncio.to_thread(self._warmup)
@@ -768,6 +770,28 @@ class TTSEngine:
                 return s3gen_inference(params, cfg, tokens, token_len, ref, src, cache_len, key)
 
         return infer
+
+    def _s3gen_tail_infer_fn(self):
+        """Windowed-vocoder inference for the batched scheduler: vocode only a
+        receptive-field window around the emitted tail (exact; see
+        s3gen_ref_inference_tail). Full-overlap re-synthesis otherwise pays
+        the 24 kHz conv stack over the whole accumulated waveform per slice.
+        None for the DiT arch (falls back to full vocode + slice) or when
+        CHATTERBOX_TAIL_VOCODE=0 (A/B escape hatch)."""
+        if self.cfg.s3gen_arch != "ref":
+            return None
+        if os.environ.get("CHATTERBOX_TAIL_VOCODE", "1") != "1":
+            return None
+        cfg = self.cfg.s3gen_ref
+
+        def tail_infer(params, tokens, token_len, ref, src, cache_len, key,
+                       start, tail_len):
+            return s3gen_ref_inference_tail(
+                params, cfg, tokens, token_len, ref, src, cache_len, key,
+                start, tail_len,
+            )
+
+        return tail_infer
 
     def _jit_s3gen(self):
         if "s3gen" not in self._jit_cache:

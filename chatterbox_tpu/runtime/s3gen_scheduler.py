@@ -61,11 +61,18 @@ class _Job:
 
 class S3GenScheduler:
     def __init__(self, params: Dict, cfg, max_batch: int = 16, infer=None,
-                 state_tokens: int = 1032):
+                 state_tokens: int = 1032, tail_infer=None):
         """``infer``: per-item inference fn with the s3gen_inference signature
         (params, tokens, token_len, ref, src, cache_len, key) — lets the
         engine run either token→waveform architecture through the same
         micro-batcher. Defaults to the DiT path.
+
+        ``tail_infer``: optional windowed-vocoder variant
+        (… same args …, start, tail_len) → (wav_tail [1, tail_len], new_src).
+        When provided, the model vocodes ONLY a receptive-field window around
+        the emitted tail (exact — see s3gen_ref_inference_tail) instead of
+        the full accumulated waveform, keeping per-slice vocoder cost
+        constant in "full"-overlap mode.
 
         ``state_tokens``: source-cache capacity in tokens (≥ the engine's
         largest token bucket)."""
@@ -90,6 +97,7 @@ class S3GenScheduler:
                 params, cfg, tk, tl, rf, sr, cl, ky
             )
         )
+        self._tail_infer = tail_infer
         self._queues: Dict[int, List[_Job]] = {}
         self._wake = asyncio.Event()
         self._task: Optional[asyncio.Task] = None
@@ -143,6 +151,7 @@ class S3GenScheduler:
         jit_key = (T, B)
         if jit_key not in self._jit:
             item_infer = self._infer
+            tail_infer = self._tail_infer
             spt = self.cfg.samples_per_token
             n = T * spt
             tail = self._tail_len(T)
@@ -156,12 +165,20 @@ class S3GenScheduler:
                 # or co-batched (reproducibility + seam determinism).
                 def one(tk, tl, rf, st, cl, ky, sh, strt):
                     src = jax.lax.dynamic_slice(st, (sh,), (n,))[None]
-                    wav, new_src = item_infer(params, tk, tl, rf, src, cl, ky)
+                    if tail_infer is not None:
+                        # windowed vocoder: the model computes only the tail
+                        # (exact — receptive-field margin inside the fn)
+                        tail_out, new_src = tail_infer(
+                            params, tk, tl, rf, src, cl, ky, strt[None], tail
+                        )
+                        tail_out = tail_out[0]
+                    else:
+                        wav, new_src = item_infer(params, tk, tl, rf, src, cl, ky)
+                        tail_out = jax.lax.dynamic_slice(wav[0], (strt,), (tail,))
                     new_state = jnp.zeros((state_len,), jnp.float32)
                     new_state = jax.lax.dynamic_update_slice(
                         new_state, new_src[0].astype(jnp.float32), (0,)
                     )
-                    tail_out = jax.lax.dynamic_slice(wav[0], (strt,), (tail,))
                     return tail_out, new_state
 
                 return jax.vmap(one)(

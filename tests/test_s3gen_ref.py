@@ -159,6 +159,69 @@ def test_inference_shapes_and_cache_contract(params, ref):
     np.testing.assert_allclose(np.asarray(src2)[0, : 3 * spt], np.asarray(src1)[0, : 3 * spt], atol=1e-6)
 
 
+def test_tail_vocode_exact(params, ref):
+    """Windowed vocoding must reproduce the full computation's emitted tail
+    EXACTLY (it is the scheduler's full-overlap fast path): margin =
+    hift_receptive_margin, every op in hift_decode is local."""
+    from chatterbox_tpu.models.s3gen_ref import s3gen_ref_inference_tail
+
+    T = 64
+    spt = CFG.samples_per_token
+    rng = np.random.default_rng(5)
+    tokens = jnp.asarray(rng.integers(0, 50, (1, T)), jnp.int32)
+    tlen = jnp.array([T])
+    src0 = jnp.asarray(rng.standard_normal((1, T * spt)) * 0.05, jnp.float32)
+    clen = jnp.array([10 * spt])
+    key = jax.random.PRNGKey(9)
+    wav_full, src_full = s3gen_ref_inference(params, CFG, tokens, tlen, ref, src0, clen, key)
+
+    tail_len = 8 * spt
+    for start in (0, 17 * spt + 5, T * spt - tail_len):
+        tail, src_t = s3gen_ref_inference_tail(
+            params, CFG, tokens, tlen, ref, src0, clen, key,
+            jnp.array([start]), tail_len,
+        )
+        np.testing.assert_allclose(
+            np.asarray(tail)[0], np.asarray(wav_full)[0, start : start + tail_len],
+            rtol=0, atol=2e-6, err_msg=f"start={start}",
+        )
+        np.testing.assert_allclose(np.asarray(src_t), np.asarray(src_full), atol=0)
+
+
+def test_hift_receptive_margin_full_size():
+    """The analytic margin must hold for the FULL-SIZE HiFT config: vocoding
+    a window reproduces interior samples of the full-length computation."""
+    from chatterbox_tpu.models.s3gen_ref.config import HiFTConfig
+    from chatterbox_tpu.models.s3gen_ref.hift import (
+        _upsample_total,
+        hift_decode,
+        hift_receptive_margin,
+        init_hift_params,
+    )
+
+    cfg = HiFTConfig()
+    up = _upsample_total(cfg)                      # samples per mel frame
+    margin = hift_receptive_margin(cfg)
+    p = init_hift_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(11)
+    F = 2 * (margin // up + 1) + 40                # window fits with interior
+    mel = jnp.asarray(rng.standard_normal((1, F, 80)) * 0.3, jnp.float32)
+    source = jnp.asarray(rng.standard_normal((1, F * up)) * 0.1, jnp.float32)
+    full = np.asarray(hift_decode(p, cfg, mel, source))
+
+    w0_f = 13                                      # unaligned-ish window start
+    wf = F - 20
+    win = np.asarray(
+        hift_decode(p, cfg, mel[:, w0_f : w0_f + wf], source[:, w0_f * up : (w0_f + wf) * up])
+    )
+    lo = margin                                     # interior of the window
+    hi = wf * up - margin
+    assert hi - lo > up, "window too small for an interior region"
+    np.testing.assert_allclose(
+        win[0, lo:hi], full[0, w0_f * up + lo : w0_f * up + hi], rtol=0, atol=2e-6
+    )
+
+
 def test_inference_deterministic_per_key(params, ref):
     T = 4
     spt = CFG.samples_per_token

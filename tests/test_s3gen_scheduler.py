@@ -193,3 +193,64 @@ def test_batch_failure_retries_smaller(setup):
             sched.stop()
 
     asyncio.run(run())
+
+
+def test_tail_vocode_through_scheduler_matches_full():
+    """With the ref arch's tail_infer, a full-overlap slice whose bucket
+    exceeds the vocoder window (T > MAX_TAIL_TOKENS + 2·margin) must emit
+    byte-identical audio to the full-vocode scheduler (exactness of the
+    windowed fast path through the REAL batch/vmap/state plumbing)."""
+    from chatterbox_tpu.models.s3gen_ref import (
+        S3GenRefConfig,
+        init_s3gen_ref_params,
+        s3gen_ref_embed_ref,
+        s3gen_ref_inference,
+        s3gen_ref_inference_tail,
+    )
+    from chatterbox_tpu.runtime.s3gen_scheduler import MAX_TAIL_TOKENS
+
+    cfg = S3GenRefConfig.tiny()
+    spt = cfg.samples_per_token
+    params = init_s3gen_ref_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(7)
+    wav24 = jnp.asarray(rng.standard_normal((1, 2400)) * 0.1, jnp.float32)
+    wav16 = jnp.asarray(rng.standard_normal((1, 1600)) * 0.1, jnp.float32)
+    ref = s3gen_ref_embed_ref(params, cfg, wav24, jnp.array([2400]), wav16, jnp.array([1600]))
+
+    def infer(p, tk, tl, rf, sr, cl, ky):
+        return s3gen_ref_inference(p, cfg, tk, tl, rf, sr, cl, ky)
+
+    def tail_infer(p, tk, tl, rf, sr, cl, ky, start, tail_len):
+        return s3gen_ref_inference_tail(p, cfg, tk, tl, rf, sr, cl, ky, start, tail_len)
+
+    # full-overlap slice 2 of a chunk: 160 accumulated tokens (> window),
+    # 100 previously emitted; prev_rel inside the bucket
+    T = 192
+    acc = 160
+    prev = 100 * spt
+    assert T > MAX_TAIL_TOKENS  # windowing actually engages
+    tokens = np.zeros((T,), np.int32)
+    tokens[:acc] = rng.integers(0, 50, acc)
+    key = jax.random.PRNGKey(21)
+    state0 = jnp.zeros((T * spt + 64 * spt,), jnp.float32)
+
+    async def run(tail_fn):
+        sched = S3GenScheduler(
+            params, cfg, max_batch=2, infer=infer,
+            state_tokens=T + 64, tail_infer=tail_fn,
+        )
+        try:
+            return await sched.synthesize(
+                tokens, acc, ref, state0, prev, key, shift=0, prev_rel=prev
+            )
+        finally:
+            sched.stop()
+
+    tail_w, start_w, state_w = asyncio.run(run(tail_infer))
+    tail_f, start_f, state_f = asyncio.run(run(None))
+    assert start_w == start_f
+    valid = acc * spt - start_w  # samples of real audio inside the tail
+    np.testing.assert_allclose(
+        np.asarray(tail_w)[:valid], np.asarray(tail_f)[:valid], rtol=0, atol=2e-6
+    )
+    np.testing.assert_allclose(np.asarray(state_w), np.asarray(state_f), atol=0)
