@@ -102,8 +102,14 @@ def s3tok_ref_tokenize(
     x = jax.nn.gelu(
         conv1d(x, params["conv2"]["w"], params["conv2"]["b"], stride=2, padding="SAME_TORCH")
     )
+    # clip to the positional table's capacity: audio beyond the tokenizer
+    # context can't be represented (full-size table covers the 10 s prompt
+    # budget; tiny test configs may see longer warm-up audio)
+    cap = params["pos"].shape[0]
+    if x.shape[1] > cap:
+        x = x[:, :cap]
     T = x.shape[1]
-    n_tok = n_mel // 4
+    n_tok = jnp.minimum(n_mel // 4, cap)
     valid = jnp.arange(T)[None, :] < n_tok[:, None]
     x = jnp.where(valid[:, :, None], x, 0.0)
     x = x + params["pos"][:T][None].astype(x.dtype)

@@ -90,6 +90,24 @@ def main():
     print(f"{'sum of stages':28s} {total*1e3:8.1f} ms "
           f"(estimator share {10*t_est/total*100:.0f}% if linear)")
 
+    # tail-windowed vocode (the scheduler's full-overlap fast path): the
+    # decode window is constant (tail + 2·margin) regardless of the
+    # accumulated length T — run with BENCH_T=256/512 to see the full-overlap
+    # re-synthesis delta (s3gen_ref_inference_tail)
+    from chatterbox_tpu.models.s3gen_ref.hift import hift_receptive_margin
+    from chatterbox_tpu.runtime.s3gen_scheduler import MAX_TAIL_TOKENS
+
+    margin_tok = -(-hift_receptive_margin(hf) // spt) + 1
+    win_tok = min(T, MAX_TAIL_TOKENS + 2 * margin_tok)
+    if win_tok < T:
+        mel_w = mel_gen[:, : win_tok * fl.up_stride]
+        src_w = src[:, : win_tok * spt].astype(jnp.float32)
+        _, t_dec_w = timed(f"hift decode (win {win_tok} tok)",
+                           decj, params["mel2wav"], mel_w, src_w)
+        total_w = t_enc + t_cfm + t_f0 + t_src + t_dec_w
+        print(f"{'sum w/ tail vocode':28s} {total_w*1e3:8.1f} ms "
+              f"(full-overlap slice at acc={T} tokens)")
+
 
 if __name__ == "__main__":
     main()

@@ -234,23 +234,31 @@ def test_tail_vocode_through_scheduler_matches_full():
     key = jax.random.PRNGKey(21)
     state0 = jnp.zeros((T * spt + 64 * spt,), jnp.float32)
 
+    prev2 = 60 * spt  # second stream at a different window position
+
     async def run(tail_fn):
         sched = S3GenScheduler(
             params, cfg, max_batch=2, infer=infer,
             state_tokens=T + 64, tail_infer=tail_fn,
         )
         try:
-            return await sched.synthesize(
-                tokens, acc, ref, state0, prev, key, shift=0, prev_rel=prev
+            # two concurrent jobs coalesce into ONE B=2 batch: the tail path
+            # must window correctly per-row under vmap (different starts)
+            return await asyncio.gather(
+                sched.synthesize(tokens, acc, ref, state0, prev, key,
+                                 shift=0, prev_rel=prev),
+                sched.synthesize(tokens, acc, ref, state0, prev2, key,
+                                 shift=0, prev_rel=prev2),
             )
         finally:
             sched.stop()
 
-    tail_w, start_w, state_w = asyncio.run(run(tail_infer))
-    tail_f, start_f, state_f = asyncio.run(run(None))
-    assert start_w == start_f
-    valid = acc * spt - start_w  # samples of real audio inside the tail
-    np.testing.assert_allclose(
-        np.asarray(tail_w)[:valid], np.asarray(tail_f)[:valid], rtol=0, atol=2e-6
-    )
-    np.testing.assert_allclose(np.asarray(state_w), np.asarray(state_f), atol=0)
+    res_w = asyncio.run(run(tail_infer))
+    res_f = asyncio.run(run(None))
+    for (tail_w, start_w, state_w), (tail_f, start_f, state_f) in zip(res_w, res_f):
+        assert start_w == start_f
+        valid = acc * spt - start_w  # samples of real audio inside the tail
+        np.testing.assert_allclose(
+            np.asarray(tail_w)[:valid], np.asarray(tail_f)[:valid], rtol=0, atol=2e-6
+        )
+        np.testing.assert_allclose(np.asarray(state_w), np.asarray(state_f), atol=0)
