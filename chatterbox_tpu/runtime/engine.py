@@ -119,36 +119,44 @@ class EngineConfig:
 
     @staticmethod
     def tiny_ref() -> "EngineConfig":
+        # env knobs applied here too so scripts/quality_study.py --tiny
+        # exercises the same knob plumbing as the full model
         return dataclasses.replace(
-            EngineConfig.tiny(), s3gen_arch="ref", s3gen_ref=S3GenRefConfig.tiny()
+            EngineConfig.tiny(),
+            s3gen_arch="ref",
+            s3gen_ref=EngineConfig._apply_ref_env_knobs(S3GenRefConfig.tiny()),
         )
+
+    @staticmethod
+    def _apply_ref_env_knobs(ref_cfg: "S3GenRefConfig") -> "S3GenRefConfig":
+        """Deliberate TPU-serving deviations (off by default, quality deltas
+        quantified by scripts/quality_study.py):
+
+        * CHATTERBOX_FLOW_PROMPT_TOKENS trims the flow's per-chunk prompt
+          window (reference default: 10 s = 250 tokens / 500 mel frames,
+          tts_streaming.py:365-366). Every chunk re-encodes this window, so
+          it sets the flow's compute floor.
+        * CHATTERBOX_CFM_STEPS trims the CFM Euler step count (reference:
+          10). The estimator scan is ~72% of the S3Gen chunk, near-linear in
+          steps."""
+        ptoks = int(os.environ.get("CHATTERBOX_FLOW_PROMPT_TOKENS", "0") or 0)
+        if 0 < ptoks < ref_cfg.max_prompt_tokens:
+            ref_cfg = dataclasses.replace(
+                ref_cfg, max_prompt_tokens=ptoks, max_prompt_mel=2 * ptoks
+            )
+        steps = int(os.environ.get("CHATTERBOX_CFM_STEPS", "0") or 0)
+        if 0 < steps != ref_cfg.flow.n_timesteps:
+            ref_cfg = dataclasses.replace(
+                ref_cfg, flow=dataclasses.replace(ref_cfg.flow, n_timesteps=steps)
+            )
+        return ref_cfg
 
     @staticmethod
     def full(param_dtype: str = "bfloat16") -> "EngineConfig":
         arch = os.environ.get("CHATTERBOX_S3GEN_ARCH", "ref")
         ref_cfg = None
         if arch == "ref":
-            ref_cfg = S3GenRefConfig()
-            # CHATTERBOX_FLOW_PROMPT_TOKENS trims the flow's per-chunk prompt
-            # window (reference default: 10 s = 250 tokens / 500 mel frames,
-            # tts_streaming.py:365-366). Every chunk re-encodes this window,
-            # so it sets the flow's compute floor; a smaller budget trades
-            # some voice-conditioning context for throughput. Deliberate
-            # TPU-serving knob — the reference has no equivalent.
-            ptoks = int(os.environ.get("CHATTERBOX_FLOW_PROMPT_TOKENS", "0") or 0)
-            if 0 < ptoks < ref_cfg.max_prompt_tokens:
-                ref_cfg = dataclasses.replace(
-                    ref_cfg, max_prompt_tokens=ptoks, max_prompt_mel=2 * ptoks
-                )
-            # CHATTERBOX_CFM_STEPS trims the CFM Euler step count (reference:
-            # 10). The estimator scan is ~72% of the S3Gen chunk, near-linear
-            # in steps; quality delta quantified by scripts/quality_study.py.
-            # Deliberate TPU-serving knob, off (=10) by default.
-            steps = int(os.environ.get("CHATTERBOX_CFM_STEPS", "0") or 0)
-            if 0 < steps != ref_cfg.flow.n_timesteps:
-                ref_cfg = dataclasses.replace(
-                    ref_cfg, flow=dataclasses.replace(ref_cfg.flow, n_timesteps=steps)
-                )
+            ref_cfg = EngineConfig._apply_ref_env_knobs(S3GenRefConfig())
         # int8 KV cache is the serving default: with the scale-factored
         # attention (scales applied to scores/probs, cache fed to the matmul
         # as int8) the 35-token batched slice measures 500 ms vs 679 ms bf16
@@ -1365,7 +1373,13 @@ class TTSEngine:
                     # behavior. Deliberate deviation when set; quality delta
                     # quantified by scripts/quality_study.py.
                     W = self.overlap_window
-                    drop = max(0, acc_tokens.size - W) if W else 0
+                    # never drop past the already-emitted prefix: with
+                    # W < tokens-per-slice the naive acc−W drop would cut
+                    # into NEW tokens (negative prev_rel → lost audio)
+                    drop = (
+                        max(0, min(acc_tokens.size - W, prev_samples // spt))
+                        if W else 0
+                    )
                     infer_tokens = acc_tokens[drop:]
                 else:
                     infer_tokens = new_toks

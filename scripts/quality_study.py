@@ -48,6 +48,19 @@ VARIANTS = [
     ("kv_native", {"CHATTERBOX_KV": "native"}),
 ]
 
+# Tiny-model harness check (production values never bind on the 64-token
+# tiny config: its CFM runs 2 steps, windows < 64 never trigger, int8 KV is
+# not the tiny default). These confirm each knob actually changes the
+# output through the same plumbing; full-model numbers are the real study.
+TINY_VARIANTS = [
+    ("default", {}),
+    ("cfm_steps_4", {"CHATTERBOX_CFM_STEPS": "4"}),
+    ("overlap_window_16", {"CHATTERBOX_OVERLAP_WINDOW_TOKENS": "16"}),
+    ("flow_prompt_4", {"CHATTERBOX_FLOW_PROMPT_TOKENS": "4"}),
+    ("kv_int8", {"KV_CACHE_DTYPE": "int8"}),  # engine-built tiny cfg honors
+                                              # the settings-level override
+]
+
 _SYNTH_CODE = r"""
 import asyncio, os, sys
 sys.path.insert(0, os.environ["REPO_ROOT"])
@@ -90,7 +103,7 @@ def main() -> None:
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     tmp = tempfile.mkdtemp(prefix="quality_study_")
     wavs = {}
-    for name, env_extra in VARIANTS:
+    for name, env_extra in (TINY_VARIANTS if args.tiny else VARIANTS):
         out_wav = os.path.join(tmp, f"{name}.wav")
         env = dict(os.environ)
         env.update(env_extra)

@@ -66,16 +66,19 @@ def test_stream_wav_end_to_end(env, engine_cfg):
     assert len(audio) > 0.2 * engine.sr
 
 
-def test_overlap_window_conserves_samples(env, engine_cfg, monkeypatch):
+@pytest.mark.parametrize("window", [16, 4])
+def test_overlap_window_conserves_samples(env, engine_cfg, monkeypatch, window):
     """CHATTERBOX_OVERLAP_WINDOW_TOKENS bounds the full-overlap re-synthesis
     window. T3 tokens are unaffected, so the emitted sample COUNT must be
-    identical to the unbounded run (the window changes context, not length)."""
+    identical to the unbounded run (the window changes context, not length).
+    window=4 < audio_tokens_per_slice=8 regresses the drop>emitted bug (the
+    naive acc−W drop cut into NEW tokens and lost audio)."""
     engine = _make_engine(engine_cfg)
     base = asyncio.run(_collect_stream(engine, request_id="win-req"))
 
-    monkeypatch.setenv("CHATTERBOX_OVERLAP_WINDOW_TOKENS", "16")
+    monkeypatch.setenv("CHATTERBOX_OVERLAP_WINDOW_TOKENS", str(window))
     engine2 = _make_engine(engine_cfg)
-    assert engine2.overlap_window == 16
+    assert engine2.overlap_window == window
     windowed = asyncio.run(_collect_stream(engine2, request_id="win-req"))
     assert len(windowed) == len(base)
     assert windowed[:4] == b"RIFF"
