@@ -112,78 +112,81 @@ def _pair_attention(
 def _kernel(
     start_ref,   # SMEM [B]
     pos_ref,     # SMEM [B]
-    q_ref,       # VMEM [1, HpG, 2G, 64]  rows: [even-head queries | odd-head]
-    k_ref,       # VMEM [1, HpG, view, 128]
-    v_ref,       # VMEM [1, HpG, view, 128]
-    kn_ref,      # VMEM [1, HpG, 1, 128]  current token's k (paired lanes)
-    vn_ref,      # VMEM [1, HpG, 1, 128]
-    o_ref,       # VMEM [1, HpG, 2G, 64]
+    q_ref,       # VMEM [R, HpG, 2G, 64]  rows: [even-head queries | odd-head]
+    k_ref,       # VMEM [R, HpG, view, 128]
+    v_ref,       # VMEM [R, HpG, view, 128]
+    kn_ref,      # VMEM [R, HpG, 1, 128]  current token's k (paired lanes)
+    vn_ref,      # VMEM [R, HpG, 1, 128]
+    o_ref,       # VMEM [R, HpG, 2G, 64]
     *,
+    n_rows: int,
     n_pairs: int,
     n_g: int,
     view: int,
     scale: float,
 ):
-    b = pl.program_id(0)
+    b0 = pl.program_id(0) * n_rows
     G = n_g
-    start = start_ref[b]
-    pos = pos_ref[b]
-    idx = jax.lax.broadcasted_iota(jnp.int32, (2 * G, view), 1)
-    valid = (idx >= start) & (idx < pos)
     dh = q_ref.shape[-1]
-
-    for j in range(n_pairs):  # static unroll: n_pairs is small (≤ 8)
-        out = _pair_attention(
-            q_ref[0, j].astype(jnp.float32),
-            k_ref[0, j].astype(jnp.float32),
-            v_ref[0, j].astype(jnp.float32),
-            kn_ref[0, j].astype(jnp.float32),
-            vn_ref[0, j].astype(jnp.float32),
-            valid, scale, G, dh,
-        )
-        o_ref[0, j, :, :] = out.astype(o_ref.dtype)
+    for r in range(n_rows):  # static unroll (rows_per_block is small)
+        start = start_ref[b0 + r]
+        pos = pos_ref[b0 + r]
+        idx = jax.lax.broadcasted_iota(jnp.int32, (2 * G, view), 1)
+        valid = (idx >= start) & (idx < pos)
+        for j in range(n_pairs):  # static unroll: n_pairs is small (≤ 8)
+            out = _pair_attention(
+                q_ref[r, j].astype(jnp.float32),
+                k_ref[r, j].astype(jnp.float32),
+                v_ref[r, j].astype(jnp.float32),
+                kn_ref[r, j].astype(jnp.float32),
+                vn_ref[r, j].astype(jnp.float32),
+                valid, scale, G, dh,
+            )
+            o_ref[r, j, :, :] = out.astype(o_ref.dtype)
 
 
 def _kernel_int8(
     start_ref,   # SMEM [B]
     pos_ref,     # SMEM [B]
-    q_ref,       # VMEM [1, HpG, 2G, 64]
-    k_ref,       # VMEM [1, HpG, view, 128] int8
-    ks_ref,      # VMEM [1, HpG, 2, view] f32 per-token k scales (even/odd head)
-    v_ref,       # VMEM [1, HpG, view, 128] int8
-    vs_ref,      # VMEM [1, HpG, 2, view] f32
-    kn_ref,      # VMEM [1, HpG, 1, 128] float (current token, unquantized)
-    vn_ref,      # VMEM [1, HpG, 1, 128]
-    o_ref,       # VMEM [1, HpG, 2G, 64]
+    q_ref,       # VMEM [R, HpG, 2G, 64]
+    k_ref,       # VMEM [R, HpG, view, 128] int8
+    ks_ref,      # VMEM [R, HpG, 2, view] f32 per-token k scales (even/odd head)
+    v_ref,       # VMEM [R, HpG, view, 128] int8
+    vs_ref,      # VMEM [R, HpG, 2, view] f32
+    kn_ref,      # VMEM [R, HpG, 1, 128] float (current token, unquantized)
+    vn_ref,      # VMEM [R, HpG, 1, 128]
+    o_ref,       # VMEM [R, HpG, 2G, 64]
     *,
+    n_rows: int,
     n_pairs: int,
     n_g: int,
     view: int,
     scale: float,
 ):
-    b = pl.program_id(0)
+    b0 = pl.program_id(0) * n_rows
     G = n_g
-    start = start_ref[b]
-    pos = pos_ref[b]
-    idx = jax.lax.broadcasted_iota(jnp.int32, (2 * G, view), 1)
-    valid = (idx >= start) & (idx < pos)
     dh = q_ref.shape[-1]
-
-    for j in range(n_pairs):
-        out = _pair_attention(
-            q_ref[0, j].astype(jnp.float32),
-            k_ref[0, j].astype(jnp.float32),
-            v_ref[0, j].astype(jnp.float32),
-            kn_ref[0, j].astype(jnp.float32),
-            vn_ref[0, j].astype(jnp.float32),
-            valid, scale, G, dh,
-            ks2=ks_ref[0, j], vs2=vs_ref[0, j],
-        )
-        o_ref[0, j, :, :] = out.astype(o_ref.dtype)
+    for r in range(n_rows):
+        start = start_ref[b0 + r]
+        pos = pos_ref[b0 + r]
+        idx = jax.lax.broadcasted_iota(jnp.int32, (2 * G, view), 1)
+        valid = (idx >= start) & (idx < pos)
+        for j in range(n_pairs):
+            out = _pair_attention(
+                q_ref[r, j].astype(jnp.float32),
+                k_ref[r, j].astype(jnp.float32),
+                v_ref[r, j].astype(jnp.float32),
+                kn_ref[r, j].astype(jnp.float32),
+                vn_ref[r, j].astype(jnp.float32),
+                valid, scale, G, dh,
+                ks2=ks_ref[r, j], vs2=vs_ref[r, j],
+            )
+            o_ref[r, j, :, :] = out.astype(o_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "s_view", "pairs_per_block")
+    jax.jit,
+    static_argnames=("interpret", "s_view", "pairs_per_block", "rows_per_block"),
 )
 def paired_decode_attention(
     q: jnp.ndarray,        # [B, H, Dh] current-step queries (H = query heads)
@@ -198,6 +201,7 @@ def paired_decode_attention(
     s_view: int | None = None,
     interpret: bool = False,
     pairs_per_block: int | None = None,
+    rows_per_block: int | None = None,
 ) -> jnp.ndarray:
     """→ [B, H, Dh]. Grid-bounded single-pass decode over the paired cache.
 
@@ -222,29 +226,40 @@ def paired_decode_attention(
     while Hp % pairs_per_block:
         pairs_per_block -= 1
     n_groups = Hp // pairs_per_block
+    if rows_per_block is None:
+        # candidate lever for the short-view per-program-overhead floor
+        # (BENCH_NOTES r2: (B,1) grids of small programs); default 1 until a
+        # measured win on hardware — sweep via scripts/kernel_bench.py
+        rows_per_block = 1
+    while B % rows_per_block:
+        rows_per_block -= 1
+    n_b = B // rows_per_block
 
     # free metadata reshapes — no relayout ops around the kernel
     q_rows = q.reshape(B, Hp, 2 * G, Dh)
     kn = k_new.reshape(B, Hp, 1, 2 * Dh)
     vn = v_new.reshape(B, Hp, 1, 2 * Dh)
 
-    grid = (B, n_groups)
+    grid = (n_b, n_groups)
     hpg = pairs_per_block
+    R = rows_per_block
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    qo_spec = pl.BlockSpec((1, hpg, 2 * G, Dh), lambda b, g: (b, g, 0, 0))
-    cache_spec = pl.BlockSpec((1, hpg, view, 2 * Dh), lambda b, g: (b, g, 0, 0))
-    new_spec = pl.BlockSpec((1, hpg, 1, 2 * Dh), lambda b, g: (b, g, 0, 0))
+    qo_spec = pl.BlockSpec((R, hpg, 2 * G, Dh), lambda b, g: (b, g, 0, 0))
+    cache_spec = pl.BlockSpec((R, hpg, view, 2 * Dh), lambda b, g: (b, g, 0, 0))
+    new_spec = pl.BlockSpec((R, hpg, 1, 2 * Dh), lambda b, g: (b, g, 0, 0))
     if quantized:
-        scale_spec = pl.BlockSpec((1, hpg, 2, view), lambda b, g: (b, g, 0, 0))
+        scale_spec = pl.BlockSpec((R, hpg, 2, view), lambda b, g: (b, g, 0, 0))
         kernel = functools.partial(
-            _kernel_int8, n_pairs=hpg, n_g=G, view=view, scale=1.0 / (Dh ** 0.5)
+            _kernel_int8, n_rows=R, n_pairs=hpg, n_g=G, view=view,
+            scale=1.0 / (Dh ** 0.5),
         )
         in_specs = [smem, smem, qo_spec, cache_spec, scale_spec, cache_spec,
                     scale_spec, new_spec, new_spec]
         operands = (start, pos, q_rows, k_cache, k_scale, v_cache, v_scale, kn, vn)
     else:
         kernel = functools.partial(
-            _kernel, n_pairs=hpg, n_g=G, view=view, scale=1.0 / (Dh ** 0.5)
+            _kernel, n_rows=R, n_pairs=hpg, n_g=G, view=view,
+            scale=1.0 / (Dh ** 0.5),
         )
         in_specs = [smem, smem, qo_spec, cache_spec, cache_spec, new_spec, new_spec]
         operands = (start, pos, q_rows, k_cache, v_cache, kn, vn)

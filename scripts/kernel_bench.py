@@ -110,6 +110,22 @@ def main() -> None:
                 v=view,
             ),
         ))
+    # rows_per_block sweep at the short production view: fewer, bigger grid
+    # programs vs per-program overhead (BENCH_NOTES r2 floor finding)
+    for rows in (2, 4, 8):
+        if B % rows:
+            continue
+        cases.append((
+            f"pallas v3 int8 (view=256, rows={rows})",
+            functools.partial(
+                lambda q, r: paired_decode_attention(
+                    q, kq_pr, vq_pr, kn, vn, start, pos,
+                    k_scale=ks_pr, v_scale=vs_pr, s_view=256,
+                    rows_per_block=r,
+                ),
+                r=rows,
+            ),
+        ))
     bytes_per = 2 * B * H * S * Dh * 2
     for name, fn in cases:
         try:

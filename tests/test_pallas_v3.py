@@ -37,7 +37,8 @@ def _reference(q, k_cache_smajor, v_cache_smajor, k_new, v_new, start, pos):
 
 @pytest.mark.parametrize("heads", [(4, 4), (8, 2)])  # (H, Hk): MHA and GQA
 @pytest.mark.parametrize("s_view", [None, 256])
-def test_paired_matches_reference(heads, s_view):
+@pytest.mark.parametrize("rows", [1, 3])  # 3 = whole batch in one program
+def test_paired_matches_reference(heads, s_view, rows):
     H, Hk = heads
     B, S, Dh = 3, 512, 64
     rng = np.random.default_rng(0)
@@ -56,7 +57,7 @@ def test_paired_matches_reference(heads, s_view):
     got = paired_decode_attention(
         jnp.asarray(q), kp, vp, jnp.asarray(kn), jnp.asarray(vn),
         jnp.asarray(start), jnp.asarray(pos),
-        s_view=s_view, interpret=True,
+        s_view=s_view, interpret=True, rows_per_block=rows,
     )
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=2e-5)
 
@@ -71,7 +72,8 @@ def _quantize(x):
 
 @pytest.mark.parametrize("heads", [(4, 4), (8, 2)])  # MHA and GQA
 @pytest.mark.parametrize("s_view", [None, 256])
-def test_paired_int8_matches_dequantized_reference(heads, s_view):
+@pytest.mark.parametrize("rows", [1, 3])
+def test_paired_int8_matches_dequantized_reference(heads, s_view, rows):
     """The in-kernel scale-factored int8 path must equal attention over the
     explicitly dequantized cache (the current token stays unquantized)."""
     H, Hk = heads
@@ -100,7 +102,7 @@ def test_paired_int8_matches_dequantized_reference(heads, s_view):
         jnp.asarray(start), jnp.asarray(pos),
         k_scale=pack_scales_paired(jnp.asarray(ks)),
         v_scale=pack_scales_paired(jnp.asarray(vs)),
-        s_view=s_view, interpret=True,
+        s_view=s_view, interpret=True, rows_per_block=rows,
     )
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=2e-5)
 
