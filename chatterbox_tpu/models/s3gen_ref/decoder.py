@@ -22,7 +22,26 @@ import jax.numpy as jnp
 from ...ops.conv import conv1d
 from ...ops.initializers import dense_init, rng_stream
 from ...ops.nn import NEG_INF, layer_norm, linear
+from ...ops.pallas_mha import flash_mha
 from .config import FlowRefConfig
+
+# test hook: force the flash path in interpret mode on CPU
+_FLASH_INTERPRET = False
+
+
+def _flash_active() -> bool:
+    """Use the flash MHA kernel for the estimator's transformer blocks (TPU
+    backend; CHATTERBOX_FLASH=0 opts out). The XLA path materializes
+    [B, H, T, T] f32 scores in HBM — ~1 GB of traffic per estimator eval at
+    production shapes across the 16 blocks; flash keeps them in VMEM."""
+    import os
+
+    if _FLASH_INTERPRET:
+        return True
+    return (
+        jax.default_backend() == "tpu"
+        and os.environ.get("CHATTERBOX_FLASH", "1") == "1"
+    )
 
 # fixed noise-buffer length (frames) for chunk-stable CFM initial noise; the
 # reference uses a 15000-frame buffer (50 Hz × 300 s) — far above any chunk
@@ -133,10 +152,18 @@ def _tf_block(p: Dict, cfg: FlowRefConfig, x: jnp.ndarray, valid: jnp.ndarray) -
     q = linear(h, p["to_q"]["w"]).reshape(B, T, H, dh)
     k = linear(h, p["to_k"]["w"]).reshape(B, T, H, dh)
     v = linear(h, p["to_v"]["w"]).reshape(B, T, H, dh)
-    scores = jnp.einsum("bihd,bjhd->bhij", q, k, preferred_element_type=jnp.float32) / np.sqrt(dh)
-    scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
-    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhij,bjhd->bihd", probs, v, preferred_element_type=jnp.float32)
+    if _flash_active():
+        o = flash_mha(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), valid,
+            scale=float(1.0 / np.sqrt(dh)), interpret=_FLASH_INTERPRET,
+        )
+        out = o.transpose(0, 2, 1, 3)
+    else:
+        scores = jnp.einsum("bihd,bjhd->bhij", q, k, preferred_element_type=jnp.float32) / np.sqrt(dh)
+        scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhij,bjhd->bihd", probs, v, preferred_element_type=jnp.float32)
     x = x + linear(out.reshape(B, T, H * dh).astype(x.dtype), p["to_out"]["w"], p["to_out"]["b"])
     h = layer_norm(x, p["norm3"]["w"], p["norm3"]["b"])
     h = linear(jax.nn.gelu(linear(h, p["ff1"]["w"], p["ff1"]["b"])), p["ff2"]["w"], p["ff2"]["b"])
