@@ -98,7 +98,13 @@ def flash_mha(
     B, H, T, dh = q.shape
     if scale is None:
         scale = 1.0 / (dh ** 0.5)
-    Tp = -(-T // max(block_q, block_k)) * max(block_q, block_k)
+    # pad to a common multiple of BOTH block sizes: n_q/n_k below truncate,
+    # so a max()-only pad would silently drop trailing kv blocks whenever
+    # the two sizes aren't mutually divisible
+    import math
+
+    step = math.lcm(block_q, block_k)
+    Tp = -(-T // step) * step
     if Tp != T:
         pad = ((0, 0), (0, 0), (0, Tp - T), (0, 0))
         q = jnp.pad(q, pad)

@@ -369,9 +369,15 @@ class TTSEngine:
                     slice_size=get_tts_config().AUDIO_TOKENS_PER_SLICE,
                     seed=self.seed,
                 )
+                from .s3gen_scheduler import MAX_TAIL_TOKENS
+
+                # state row must hold the largest bucket PLUS the largest
+                # per-slice window shift (≤ slice+EOS ≤ MAX_TAIL_TOKENS):
+                # synthesize() clamps shift to state_len − bucket·spt, and a
+                # clamped shift would silently misalign the excitation cache
                 self.s3gen_scheduler = S3GenScheduler(
                     self.params["s3gen"], self.gen_cfg, infer=self._s3gen_infer_fn(),
-                    state_tokens=self.cfg.t3.max_speech_tokens + 8,
+                    state_tokens=self._reachable_token_cap() + MAX_TAIL_TOKENS,
                     tail_infer=self._s3gen_tail_infer_fn(),
                 )
             self._progress = "Warming up compiled graphs..."
@@ -524,23 +530,29 @@ class TTSEngine:
                 )
                 compiled += len(plan["decode"]) + len(plan["insert"])
             for T in plan["s3gen"]:
-                def warm_bucket(T=T):
-                    w, _ = self._jit_s3gen()(
-                        self.params["s3gen"],
-                        jnp.zeros((1, T), jnp.int32),
-                        jnp.full((1,), T, jnp.int32),
-                        conds.gen_ref,
-                        jnp.zeros((1, T * spt), jnp.float32),
-                        jnp.zeros((1,), jnp.int32),
-                        jax.random.PRNGKey(0),
-                    )
-                    jax.block_until_ready(w)
+                # the unbatched _jit_s3gen is only dispatched on the
+                # decoder-less single-slot path — in scheduler mode every
+                # request rides _infer_fn(T, B); warming the unbatched ladder
+                # there would double precompile wall for executables that
+                # never run (r3 review finding)
+                if self.s3gen_scheduler is None:
+                    def warm_bucket(T=T):
+                        w, _ = self._jit_s3gen()(
+                            self.params["s3gen"],
+                            jnp.zeros((1, T), jnp.int32),
+                            jnp.full((1,), T, jnp.int32),
+                            conds.gen_ref,
+                            jnp.zeros((1, T * spt), jnp.float32),
+                            jnp.zeros((1,), jnp.int32),
+                            jax.random.PRNGKey(0),
+                        )
+                        jax.block_until_ready(w)
 
-                try:
-                    await asyncio.to_thread(warm_bucket)
-                    compiled += 1
-                except Exception as exc:
-                    log.warning("precompile: S3Gen bucket %d failed (%s)", T, exc)
+                    try:
+                        await asyncio.to_thread(warm_bucket)
+                        compiled += 1
+                    except Exception as exc:
+                        log.warning("precompile: S3Gen bucket %d failed (%s)", T, exc)
                 # micro-batched (vmapped) variants: first concurrent traffic
                 # otherwise stalls ~10 s per (bucket, batch) combination
                 if self.s3gen_scheduler is not None:
@@ -847,9 +859,11 @@ class TTSEngine:
                         params["s3gen"], refc, wav24, wav24_len, wav16, wav16_len_dec
                     )
                 else:
+                    from ..models.s3gen_ref.features import reflect_tail
+
                     fbank = log_mel_spectrogram(wav16, 16000, 400, 160, 80)
                     ref = s3gen_embed_ref(
-                        params["s3gen"], s3c, wav24, fbank,
+                        params["s3gen"], s3c, reflect_tail(wav24, wav24_len), fbank,
                         prompt_tokens[:, : s3c.max_prompt_tokens],
                         jnp.minimum(prompt_len, s3c.max_prompt_tokens),
                         fbank_len=wav16_len_dec // 160,
@@ -963,18 +977,11 @@ class TTSEngine:
         wav, sr = read_wav(wav_fpath)
         wav24 = resample(wav, sr, S3GEN_SR)[: self.DEC_COND_LEN]
         wav16 = resample(wav, sr, S3_SR)[: self.DEC16_COND_LEN]
-        # static-size pads (one compiled graph for all voices)
+        # static-size pads (one compiled graph for all voices); sub-10 s
+        # prompt tail parity (ADVICE r2) is handled model-side by
+        # features.reflect_tail inside both embed paths — one copy only
         w24 = np.zeros((1, self.DEC_COND_LEN), np.float32)
         w24[0, : len(wav24)] = wav24
-        # HiFiGAN mel parity for sub-10 s prompts (ADVICE r2): the reference
-        # extractor reflect-pads the TRUE audio end by (n_fft-hop)/2 = 720
-        # samples, while the static buffer would supply zeros there — the
-        # last valid mel frame's window reads ≤720 samples past the end.
-        # Write the reflection of the valid tail into the pad region so the
-        # padded buffer reproduces the unpadded extractor exactly.
-        L24, tail = len(wav24), min(720, self.DEC_COND_LEN - len(wav24))
-        if tail > 0 and L24 > tail + 1:
-            w24[0, L24 : L24 + tail] = wav24[L24 - 2 : L24 - 2 - tail : -1]
         w16 = np.zeros((1, self.DEC16_COND_LEN), np.float32)
         w16[0, : len(wav16)] = wav16
         lanes, ref = self._jit_cond()(

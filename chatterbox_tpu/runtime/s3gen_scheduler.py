@@ -82,8 +82,10 @@ class S3GenScheduler:
         # HBM guard: flow attention activations grow ~quadratically with the
         # token bucket, so batch×bucket must be capped — batch 16 at the
         # 1032-token bucket compiles to an 18.85 GB graph on a 15.75 GB v5e
-        # (measured r3 serve_bench OOM). The token-product budget keeps every
-        # reachable (bucket, batch) variant inside HBM: 16×256, 8×512, 4×1032.
+        # (measured r3 serve_bench OOM). The 4096 token-product budget keeps
+        # every reachable (bucket, batch) variant inside HBM: 16×256, 8×512,
+        # 4×1002 (the ladder tops out at max_new_tokens+2; a bucket above
+        # 1024 would be capped at batch 2 — size the budget accordingly).
         self.batch_token_budget = int(
             os.environ.get("CHATTERBOX_S3GEN_BATCH_TOKENS", "4096")
         )
@@ -259,9 +261,17 @@ class S3GenScheduler:
                 clen = jnp.asarray([[j.cache_len] for j in jobs], jnp.int32)
                 ref = self._stacked_ref(jobs)
                 keys = jnp.stack([j.key for j in jobs])
-                shifts = jnp.asarray(
-                    [min(max(j.shift, 0), self.state_len - n) for j in jobs], jnp.int32
-                )
+                shift_vals = [min(max(j.shift, 0), self.state_len - n) for j in jobs]
+                if any(min(max(j.shift, 0), self.state_len - n) != max(j.shift, 0)
+                       for j in jobs):
+                    # the engine sizes state_tokens so this cannot happen
+                    # (bucket + max per-slice shift); a clamp here means the
+                    # excitation cache is misaligned — fail loud, not silent
+                    log.error(
+                        "S3Gen state shift clamped (bucket=%d, state_len=%d): "
+                        "excitation continuity broken", T, self.state_len,
+                    )
+                shifts = jnp.asarray(shift_vals, jnp.int32)
                 starts_host = [min(max(j.prev_rel, 0), max(0, n - tail)) for j in jobs]
                 starts = jnp.asarray(starts_host, jnp.int32)
                 metrics.record_stage("s3gen_stack_host", _time.perf_counter() - t0)

@@ -528,4 +528,10 @@ class BatchedT3Decoder:
             for slot in list(self._queues):
                 self._queues[slot].put_nowait(err)
                 self._release(slot)
+            # warm_variants callers would otherwise await a future the dead
+            # loop never resolves (engine._precompile / serve_bench hang)
+            for job in self._warm:
+                if not job[3].done():
+                    job[3].set_exception(err)
+            self._warm.clear()
             self._task = None  # allow a fresh start() to spin a new loop
