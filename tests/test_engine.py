@@ -1,4 +1,9 @@
-"""End-to-end engine tests with the tiny random-weight model (CPU)."""
+"""End-to-end engine tests with the tiny random-weight model (CPU).
+
+One module-scoped engine serves every test that doesn't need a special
+env knob (suite-runtime: each TTSEngine boot re-jits its closures, ~10 s
+on this 1-CPU box; VERDICT r2 asked for module-scoped fixtures here).
+"""
 import asyncio
 
 import numpy as np
@@ -9,13 +14,16 @@ from chatterbox_tpu.config import reset_config_cache
 from chatterbox_tpu.runtime import CancellationToken, EngineConfig, TTSEngine
 
 
-@pytest.fixture()
-def env(tmp_path, monkeypatch):
-    monkeypatch.setenv("VOICES_DIR", str(tmp_path / "voices"))
-    monkeypatch.setenv("PRELOADED_VOICES_DIR", str(tmp_path / "preloaded"))
-    monkeypatch.setenv("MODEL_PATH", str(tmp_path / "models"))
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("engine_env")
+    mp = pytest.MonkeyPatch()
+    mp.setenv("VOICES_DIR", str(tmp_path / "voices"))
+    mp.setenv("PRELOADED_VOICES_DIR", str(tmp_path / "preloaded"))
+    mp.setenv("MODEL_PATH", str(tmp_path / "models"))
     reset_config_cache()
     yield tmp_path
+    mp.undo()
     reset_config_cache()
 
 
@@ -28,6 +36,13 @@ def _make_engine(engine_cfg):
     engine = TTSEngine(engine_cfg)
     asyncio.run(engine.ainit())
     return engine
+
+
+@pytest.fixture(scope="module")
+def engine(env, engine_cfg):
+    eng = _make_engine(engine_cfg)
+    yield eng
+    eng.shutdown()
 
 
 async def _collect_stream(engine, **kw):
@@ -54,8 +69,7 @@ async def _collect_stream(engine, **kw):
     return out
 
 
-def test_stream_wav_end_to_end(env, engine_cfg):
-    engine = _make_engine(engine_cfg)
+def test_stream_wav_end_to_end(env, engine):
     data = asyncio.run(_collect_stream(engine))
     assert data[:4] == b"RIFF"
     pcm = data[44:]
@@ -67,39 +81,38 @@ def test_stream_wav_end_to_end(env, engine_cfg):
 
 
 @pytest.mark.parametrize("window", [16, 4])
-def test_overlap_window_conserves_samples(env, engine_cfg, monkeypatch, window):
+def test_overlap_window_conserves_samples(env, engine, engine_cfg, monkeypatch, window):
     """CHATTERBOX_OVERLAP_WINDOW_TOKENS bounds the full-overlap re-synthesis
     window. T3 tokens are unaffected, so the emitted sample COUNT must be
     identical to the unbounded run (the window changes context, not length).
     window=4 < audio_tokens_per_slice=8 regresses the drop>emitted bug (the
     naive acc−W drop cut into NEW tokens and lost audio)."""
-    engine = _make_engine(engine_cfg)
     base = asyncio.run(_collect_stream(engine, request_id="win-req"))
 
     monkeypatch.setenv("CHATTERBOX_OVERLAP_WINDOW_TOKENS", str(window))
     engine2 = _make_engine(engine_cfg)
-    assert engine2.overlap_window == window
-    windowed = asyncio.run(_collect_stream(engine2, request_id="win-req"))
+    try:
+        assert engine2.overlap_window == window
+        windowed = asyncio.run(_collect_stream(engine2, request_id="win-req"))
+    finally:
+        engine2.shutdown()
     assert len(windowed) == len(base)
     assert windowed[:4] == b"RIFF"
 
 
-def test_stream_zero_overlap_strategy(env, engine_cfg):
-    engine = _make_engine(engine_cfg)
+def test_stream_zero_overlap_strategy(env, engine):
     data = asyncio.run(
         _collect_stream(engine, chunk_overlap_strategy="zero", output_format="raw_pcm")
     )
     assert len(data) > 0
 
 
-def test_stream_empty_text(env, engine_cfg):
-    engine = _make_engine(engine_cfg)
+def test_stream_empty_text(env, engine):
     data = asyncio.run(_collect_stream(engine, text="   "))
     assert data == b""
 
 
-def test_stream_with_cloned_voice(env, engine_cfg):
-    engine = _make_engine(engine_cfg)
+def test_stream_with_cloned_voice(env, engine):
     # author a reference wav and register it as a voice
     sr = 24000
     t = np.arange(sr) / sr
@@ -115,9 +128,7 @@ def test_stream_with_cloned_voice(env, engine_cfg):
     assert "tester.wav" not in engine.voice_cache
 
 
-def test_stream_missing_voice_raises(env, engine_cfg):
-    engine = _make_engine(engine_cfg)
-
+def test_stream_missing_voice_raises(env, engine):
     async def run():
         with pytest.raises(FileNotFoundError):
             await _collect_stream(engine, voice_id="ghost.wav")
@@ -125,9 +136,7 @@ def test_stream_missing_voice_raises(env, engine_cfg):
     asyncio.run(run())
 
 
-def test_stream_cancellation(env, engine_cfg):
-    engine = _make_engine(engine_cfg)
-
+def test_stream_cancellation(env, engine):
     async def run():
         token = CancellationToken()
         received = []

@@ -1,4 +1,8 @@
-"""End-to-end engine tests with the checkpoint-compatible (ref) S3Gen arch."""
+"""End-to-end engine tests with the checkpoint-compatible (ref) S3Gen arch.
+
+One module-scoped tiny_ref engine serves the stream + checkpoint tests
+(each TTSEngine boot re-jits its closures — suite-runtime, VERDICT r2).
+"""
 import asyncio
 
 import numpy as np
@@ -8,14 +12,25 @@ from chatterbox_tpu.config import reset_config_cache
 from chatterbox_tpu.runtime import CancellationToken, EngineConfig, TTSEngine
 
 
-@pytest.fixture()
-def env(tmp_path, monkeypatch):
-    monkeypatch.setenv("VOICES_DIR", str(tmp_path / "voices"))
-    monkeypatch.setenv("PRELOADED_VOICES_DIR", str(tmp_path / "preloaded"))
-    monkeypatch.setenv("MODEL_PATH", str(tmp_path / "models"))
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("ref_arch_env")
+    mp = pytest.MonkeyPatch()
+    mp.setenv("VOICES_DIR", str(tmp_path / "voices"))
+    mp.setenv("PRELOADED_VOICES_DIR", str(tmp_path / "preloaded"))
+    mp.setenv("MODEL_PATH", str(tmp_path / "models"))
     reset_config_cache()
     yield tmp_path
+    mp.undo()
     reset_config_cache()
+
+
+@pytest.fixture(scope="module")
+def engine(env):
+    eng = TTSEngine(EngineConfig.tiny_ref(), seed=3)
+    asyncio.run(eng.ainit())
+    yield eng
+    eng.shutdown()
 
 
 async def _collect(engine, **kw):
@@ -42,15 +57,12 @@ async def _collect(engine, **kw):
     return out
 
 
-def test_ref_arch_engine_stream(env):
+def test_ref_arch_engine_stream(env, engine):
     """The reference-architecture S3Gen serves end to end through the same
     engine pipeline (wav container, non-empty audio)."""
-    engine = TTSEngine(EngineConfig.tiny_ref())
-    asyncio.run(engine.ainit())
     data = asyncio.run(_collect(engine))
     assert data[:4] == b"RIFF"
     assert len(data) > 44
-    engine.shutdown()
 
 
 def test_ref_arch_loads_synthetic_reference_checkpoint(env, tmp_path, monkeypatch):
@@ -66,14 +78,19 @@ def test_ref_arch_loads_synthetic_reference_checkpoint(env, tmp_path, monkeypatc
     model_dir.mkdir(parents=True, exist_ok=True)
     save_file(_synth_checkpoint(cfg.s3gen_ref), str(model_dir / "s3gen.safetensors"))
 
-    engine = TTSEngine(cfg)
-    asyncio.run(engine.ainit())
-    data = asyncio.run(_collect(engine))
-    assert data[:4] == b"RIFF" and len(data) > 44
-    engine.shutdown()
+    monkeypatch.setenv("MODEL_PATH", str(model_dir))
+    reset_config_cache()
+    try:
+        engine = TTSEngine(cfg)
+        asyncio.run(engine.ainit())
+        data = asyncio.run(_collect(engine))
+        assert data[:4] == b"RIFF" and len(data) > 44
+        engine.shutdown()
+    finally:
+        reset_config_cache()
 
 
-def test_ref_arch_native_checkpoint_roundtrip(env, tmp_path):
+def test_ref_arch_native_checkpoint_roundtrip(env, engine, tmp_path):
     """Native save/load round-trips the ref-arch params (arch recorded in
     the manifest; loading with the right config restores identical weights)."""
     import jax
@@ -81,25 +98,19 @@ def test_ref_arch_native_checkpoint_roundtrip(env, tmp_path):
     from chatterbox_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
 
     cfg = EngineConfig.tiny_ref()
-    e1 = TTSEngine(cfg, seed=3)
-    asyncio.run(e1.ainit())
     ckpt = tmp_path / "native"
-    save_checkpoint(ckpt, e1.params, cfg)
+    save_checkpoint(ckpt, engine.params, cfg)
     loaded = load_checkpoint(ckpt, cfg, np.float32)
-    a = np.asarray(jax.tree.leaves(e1.params["s3gen"])[0])
+    a = np.asarray(jax.tree.leaves(engine.params["s3gen"])[0])
     b = np.asarray(jax.tree.leaves(loaded["s3gen"])[0])
     np.testing.assert_allclose(a, b, atol=1e-6)
-    e1.shutdown()
 
 
-def test_ref_arch_checkpoint_arch_mismatch_rejected(env, tmp_path):
+def test_ref_arch_checkpoint_arch_mismatch_rejected(env, engine, tmp_path):
     from chatterbox_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
 
     cfg_ref = EngineConfig.tiny_ref()
-    e1 = TTSEngine(cfg_ref, seed=3)
-    asyncio.run(e1.ainit())
     ckpt = tmp_path / "native"
-    save_checkpoint(ckpt, e1.params, cfg_ref)
+    save_checkpoint(ckpt, engine.params, cfg_ref)
     with pytest.raises(ValueError, match="s3gen_arch"):
         load_checkpoint(ckpt, EngineConfig.tiny(), np.float32)
-    e1.shutdown()
