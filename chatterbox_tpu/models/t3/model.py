@@ -194,11 +194,27 @@ def _maybe_repeat_kv(k, cfg: T3Config):
     return jnp.repeat(k, cfg.num_heads // cfg.num_kv_heads, axis=2)
 
 
-def _backbone_prefill(params: Params, cfg: T3Config, h: jnp.ndarray, valid: jnp.ndarray):
+def _backbone_prefill(
+    params: Params,
+    cfg: T3Config,
+    h: jnp.ndarray,
+    valid: jnp.ndarray,
+    *,
+    collect_kv: bool = True,
+    remat: bool = False,
+):
     """Run all layers over a full [B, S, D] sequence.
 
     valid: [B, S] bool, False on pad rows. Returns (hidden, k_all, v_all) with
     k_all/v_all stacked [L, B, S, Hk, Dh].
+
+    collect_kv=False skips stacking the per-layer K/V (training doesn't decode
+    from this pass; the stack is [L,B,S,Hk,Dh] ×2 — ~2 GB at B=8/S=1024/bf16).
+    remat=True wraps each layer in jax.checkpoint so the backward pass
+    rematerializes activations instead of keeping all L layers' intermediates
+    live — the standard TPU HBM/FLOPs trade for training scans (forward-only
+    jit is unaffected). prevent_cse=False is the documented-safe setting under
+    lax.scan and avoids the CSE-blocking slowdown.
     """
     B, S, D = h.shape
     Dh = cfg.head_dim
@@ -216,11 +232,15 @@ def _backbone_prefill(params: Params, cfg: T3Config, h: jnp.ndarray, valid: jnp.
         h = h + linear(o.reshape(B, S, -1), lp["wo"])
         x = rms_norm(h, lp["mlp_norm"], cfg.rms_eps)
         h = h + swiglu(x, lp["w_gate"], lp["w_up"], lp["w_down"])
-        return h, (k, v)
+        return h, ((k, v) if collect_kv else None)
 
-    h, (k_all, v_all) = jax.lax.scan(layer, h, params["backbone"]["layers"])
+    if remat:
+        layer = jax.checkpoint(layer, prevent_cse=False)
+    h, kv = jax.lax.scan(layer, h, params["backbone"]["layers"])
     h = rms_norm(h, params["backbone"]["final_norm"], cfg.rms_eps)
-    return h, k_all, v_all
+    if collect_kv:
+        return h, kv[0], kv[1]
+    return h, None, None
 
 
 def _backbone_decode_step(
@@ -653,6 +673,7 @@ def t3_forward_train(
     text_tokens: jnp.ndarray,    # [B, T]
     speech_tokens: jnp.ndarray,  # [B, S] target speech tokens (BOS-shifted inputs)
     text_len: Optional[jnp.ndarray] = None,  # [B] valid text lengths
+    remat: bool = True,
 ) -> jnp.ndarray:
     """Teacher-forced forward pass → speech logits [B, S, V_speech].
 
@@ -660,6 +681,10 @@ def t3_forward_train(
     speech positions. ``text_len`` masks padded text positions out of the
     attention so training matches the serving-side masking. Used by the
     training step and multi-chip shard checks.
+
+    remat=True (default) checkpoints each scanned layer so the backward pass
+    rematerializes instead of storing every layer's activations; K/V stacking
+    is skipped entirely (never consumed when training).
     """
     B, T = text_tokens.shape
     S = speech_tokens.shape[1]
@@ -678,7 +703,7 @@ def t3_forward_train(
     prefix, prefix_valid, _ = _left_pack_prefix(params, cfg, cond, text_tokens, text_len)
     h = jnp.concatenate([prefix, speech_emb.astype(prefix.dtype)], axis=1)
     valid = jnp.concatenate([prefix_valid, jnp.ones((B, S), dtype=bool)], axis=1)
-    hidden, _, _ = _backbone_prefill(params, cfg, h, valid)
+    hidden, _, _ = _backbone_prefill(params, cfg, h, valid, collect_kv=False, remat=remat)
     speech_hidden = hidden[:, cond.shape[1] + T :]
     return linear(
         speech_hidden, params["speech_head"]["w"], params["speech_head"]["b"]

@@ -84,3 +84,28 @@ def test_sharded_train_step_runs():
         state, metrics = jax.jit(train_step)(state, batch)
     assert np.isfinite(float(metrics["loss"]))
     assert int(state["step"]) == 1
+
+
+def test_remat_forward_and_grads_match():
+    """jax.checkpoint over the scanned layers is a pure memory/FLOPs trade:
+    logits AND parameter gradients must be bit-compatible with the
+    non-remat pass (same graph, recomputed activations)."""
+    params = init_t3_params(jax.random.PRNGKey(1), CFG)
+    batch = _batch(B=2)
+
+    def loss(p, remat):
+        cond = cond_embeddings(p, CFG, batch["speaker_emb"], batch["prompt_tokens"], batch["emotion"])
+        logits = t3_forward_train(
+            p, CFG, cond, batch["text_tokens"], batch["speech_tokens"], remat=remat
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ll = jnp.take_along_axis(logp, batch["speech_tokens"][..., None], axis=-1)[..., 0]
+        return -(ll * batch["speech_mask"]).mean()
+
+    l0, g0 = jax.jit(jax.value_and_grad(lambda p: loss(p, False)))(params)
+    l1, g1 = jax.jit(jax.value_and_grad(lambda p: loss(p, True)))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    flat0, flat1 = jax.tree.leaves(g0), jax.tree.leaves(g1)
+    assert len(flat0) == len(flat1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4)
