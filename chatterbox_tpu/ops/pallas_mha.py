@@ -29,7 +29,7 @@ NEG_INF = -1e9
 
 
 def _mha_kernel(
-    valid_ref,   # VMEM [1, bk] int32 key validity for this kv block
+    valid_ref,   # VMEM [1, 1, bk] int32 key validity for this kv block
     q_ref,       # VMEM [1, 1, bq, dh]
     k_ref,       # VMEM [1, 1, bk, dh]
     v_ref,       # VMEM [1, 1, bk, dh]
@@ -55,7 +55,7 @@ def _mha_kernel(
     s = jax.lax.dot_general(                               # [bq, bk]
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    kmask = (valid_ref[0] > 0)[None, :]                    # [1, bk]
+    kmask = (valid_ref[0, 0] > 0)[None, :]                 # [1, bk]
     s = jnp.where(kmask, s, NEG_INF)
 
     m_prev = m_scr[:, :1]                                  # [bq, 1]
@@ -110,14 +110,21 @@ def flash_mha(
         q = jnp.pad(q, pad)
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
-    vmask = jnp.zeros((B, Tp), jnp.int32).at[:, :T].set(valid.astype(jnp.int32))
+    # [B, 1, Tp]: Mosaic requires each block's trailing two dims be divisible
+    # by (8, 128) or equal to the array's — a (1, block_k) block on a 2-D
+    # [B, Tp] mask violates the sublane rule (1 ∤ 8, 1 ≠ B) and only passed
+    # in interpret mode; the singleton middle axis makes the block dims
+    # (1, block_k) legal against array dims (1, Tp)
+    vmask = (
+        jnp.zeros((B, 1, Tp), jnp.int32).at[:, 0, :T].set(valid.astype(jnp.int32))
+    )
 
     n_q = Tp // block_q
     n_k = Tp // block_k
     grid = (B, H, n_q, n_k)
     qo_spec = pl.BlockSpec((1, 1, block_q, dh), lambda b, h, iq, jk: (b, h, iq, 0))
     kv_spec = pl.BlockSpec((1, 1, block_k, dh), lambda b, h, iq, jk: (b, h, jk, 0))
-    valid_spec = pl.BlockSpec((1, block_k), lambda b, h, iq, jk: (b, jk))
+    valid_spec = pl.BlockSpec((1, 1, block_k), lambda b, h, iq, jk: (b, 0, jk))
     out = pl.pallas_call(
         functools.partial(_mha_kernel, n_k=n_k, scale=scale),
         grid_spec=pltpu.PrefetchScalarGridSpec(
