@@ -1417,6 +1417,7 @@ class TTSEngine:
                         padded[0], infer_tokens.size, conds.gen_ref,
                         source_state, clen, chunk_key,
                         shift=shift, prev_rel=prev_rel,
+                        keep_state=(overlap == "full"),
                     )
                     t_host0 = time.perf_counter()
                     audio = tail_np[prev_rel - start_used : valid - start_used]

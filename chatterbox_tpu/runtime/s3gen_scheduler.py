@@ -57,6 +57,7 @@ class _Job:
     shift: int                # samples to skip from state (window drop)
     prev_rel: int             # first NEW sample index (window-relative)
     future: asyncio.Future
+    keep_state: bool = True   # caller wants the updated source row back
 
 
 class S3GenScheduler:
@@ -106,6 +107,10 @@ class S3GenScheduler:
         self._loop: Optional[asyncio.AbstractEventLoop] = None
         self._jit = {}
         self._zero_state: Optional[jax.Array] = None
+        # stacked all-zeros state rows per batch size: in zero-overlap mode
+        # every job's state is the shared zero row, so the per-call
+        # jnp.stack device op (one tunnel dispatch) can be skipped entirely
+        self._zero_stacked: Dict[int, jax.Array] = {}
         # stacked-conditioning cache: coalesced batches overwhelmingly share
         # the same voice combination (usually all-default), so the per-batch
         # jax.tree stack of B ref dicts (5 device ops + dispatches per batch)
@@ -214,16 +219,18 @@ class S3GenScheduler:
         key: jax.Array,
         shift: int = 0,           # window drop in samples
         prev_rel: int = 0,        # first new sample (window-relative)
+        keep_state: bool = True,  # False: caller discards the new state row
     ) -> Tuple[np.ndarray, int, jax.Array]:
         """→ (audio tail [tail_len] on host, tail start offset, new device
-        state row). The caller's new audio is ``tail[prev_rel - start :]``
-        up to its valid length."""
+        state row — None when ``keep_state`` is False). The caller's new
+        audio is ``tail[prev_rel - start :]`` up to its valid length."""
         self.start()
         fut = asyncio.get_running_loop().create_future()
         if state is None:
             state = self.zero_state()
         self._queues.setdefault(len(tokens), []).append(
-            _Job(tokens, token_len, ref, state, cache_len, key, shift, prev_rel, fut)
+            _Job(tokens, token_len, ref, state, cache_len, key, shift, prev_rel,
+                 fut, keep_state)
         )
         self._wake.set()
         return await fut
@@ -237,31 +244,49 @@ class S3GenScheduler:
                 await self._wake.wait()
                 continue
             queue = self._queues[bucket]
-            # power-of-two batch sizes only: keeps the compiled-variant set
-            # small ({1,2,4,8,16} instead of every B) while still collapsing
-            # a 16-stream window into one dispatch. On the tunneled runtime
-            # every dispatch costs ~30 ms of round-trip, so fewer, larger
-            # calls matter beyond MXU utilization.
-            take = 1
-            while take * 2 <= min(len(queue), self.allowed_batch(bucket)):
-                take *= 2
+            # power-of-two COMPILED batch sizes only ({1,2,4,8,16}), but take
+            # every queued job up to the cap and PAD the batch to the next
+            # compiled size (repeat the last job's inputs; padded outputs are
+            # dropped). Splitting a 6-job round into 4+2 calls doubles the
+            # per-call fixed cost (~0.6 s dispatch+fetch on the tunneled
+            # runtime, measured r3 Run B) — padding 6→8 wastes two lanes of
+            # MXU compute instead, which is far cheaper at serving buckets.
+            take = min(len(queue), self.allowed_batch(bucket))
+            B = 1
+            while B < take:
+                B *= 2
             jobs, queue[:] = queue[:take], queue[take:]
-            B, T = len(jobs), bucket
+            T = bucket
             tail = self._tail_len(T)
             n = T * spt
+            zero_row = self._zero_state
 
             def run_batch():
                 from .metrics import metrics
 
-                # leading vmap axis: each element keeps its own [1, ...] batch
+                # leading vmap axis: each element keeps its own [1, ...] batch.
+                # Pad rows repeat the LAST job (index min(i, take-1)) so every
+                # lane has valid data; padded outputs are sliced off below.
+                # Small integer operands stack host-side as np and ride the
+                # jitted call's own transfer — each explicit jnp op here is a
+                # separate ~30 ms tunnel dispatch (measured r3 Run B).
                 t0 = _time.perf_counter()
-                tokens = jnp.asarray(np.stack([j.tokens[None] for j in jobs]))
-                tlen = jnp.asarray([[j.token_len] for j in jobs], jnp.int32)
-                states = jnp.stack([j.state for j in jobs])
-                clen = jnp.asarray([[j.cache_len] for j in jobs], jnp.int32)
-                ref = self._stacked_ref(jobs)
-                keys = jnp.stack([j.key for j in jobs])
-                shift_vals = [min(max(j.shift, 0), self.state_len - n) for j in jobs]
+                pj = jobs + [jobs[-1]] * (B - take)
+                tokens = np.stack([j.tokens[None] for j in pj])
+                tlen = np.asarray([[j.token_len] for j in pj], np.int32)
+                if zero_row is not None and all(j.state is zero_row for j in pj):
+                    # zero-overlap mode: every state is the shared zero row —
+                    # reuse one cached stacked buffer, no device op at all
+                    states = self._zero_stacked.get(B)
+                    if states is None:
+                        states = jnp.zeros((B, self.state_len), jnp.float32)
+                        self._zero_stacked[B] = states
+                else:
+                    states = jnp.stack([j.state for j in pj])
+                clen = np.asarray([[j.cache_len] for j in pj], np.int32)
+                ref = self._stacked_ref(pj)
+                keys = jnp.stack([j.key for j in pj])
+                shift_vals = [min(max(j.shift, 0), self.state_len - n) for j in pj]
                 if any(min(max(j.shift, 0), self.state_len - n) != max(j.shift, 0)
                        for j in jobs):
                     # the engine sizes state_tokens so this cannot happen
@@ -271,9 +296,9 @@ class S3GenScheduler:
                         "S3Gen state shift clamped (bucket=%d, state_len=%d): "
                         "excitation continuity broken", T, self.state_len,
                     )
-                shifts = jnp.asarray(shift_vals, jnp.int32)
-                starts_host = [min(max(j.prev_rel, 0), max(0, n - tail)) for j in jobs]
-                starts = jnp.asarray(starts_host, jnp.int32)
+                shifts = np.asarray(shift_vals, np.int32)
+                starts_host = [min(max(j.prev_rel, 0), max(0, n - tail)) for j in pj]
+                starts = np.asarray(starts_host, np.int32)
                 metrics.record_stage("s3gen_stack_host", _time.perf_counter() - t0)
                 tails, new_states = self._infer_fn(T, B)(
                     self.params, tokens, tlen, ref, states, clen, keys,
@@ -287,14 +312,18 @@ class S3GenScheduler:
             t0 = _time.perf_counter()
             try:
                 tails, starts_host, new_states = await asyncio.to_thread(run_batch)
-                metrics.record_stage(
-                    "s3gen_device", _time.perf_counter() - t0, items=len(jobs)
-                )
+                dt = _time.perf_counter() - t0
+                metrics.record_stage("s3gen_device", dt, items=len(jobs))
+                log.info("[S3GEN] batch bucket=%d B=%d jobs=%d %.3fs", T, B, take, dt)
                 for i, job in enumerate(jobs):
                     if not job.future.done():
-                        job.future.set_result(
-                            (tails[i], starts_host[i], new_states[i])
-                        )
+                        # indexing new_states dispatches a device gather per
+                        # row — skip it when the caller discards the state
+                        # (zero-overlap slices: B fewer dispatches per call)
+                        job.future.set_result((
+                            tails[i], starts_host[i],
+                            new_states[i] if job.keep_state else None,
+                        ))
             except asyncio.CancelledError:
                 for job in jobs:
                     if not job.future.done():

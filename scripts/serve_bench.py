@@ -151,9 +151,9 @@ async def run(args) -> None:
             capacity = {}
             for overlap in ("full", "zero"):
                 cap, base = 0, 3000
-                # ladder is coarse below the 16-stream target (chip time is
-                # scarce under tunnel outages) and fine around/above it
-                for n in (6, 10, 14, 16, 18, 20, 24):
+                # start at 2 so a sub-6-stream capacity still measures as a
+                # nonzero honest number; coarsen toward the 16-stream target
+                for n in (2, 4, 6, 8, 10, 12, 16, 20, 24):
                     if n > args.streams:
                         break
                     out = await run_wave(n, overlap, base + 100 * n)

@@ -262,3 +262,61 @@ def test_tail_vocode_through_scheduler_matches_full():
             np.asarray(tail_w)[:valid], np.asarray(tail_f)[:valid], rtol=0, atol=2e-6
         )
         np.testing.assert_allclose(np.asarray(state_w), np.asarray(state_f), atol=0)
+
+
+def test_odd_batch_pads_to_power_of_two(setup):
+    """3 queued jobs must go out as ONE padded B=4 call (not 2+1): splitting
+    a round doubles the per-call fixed dispatch cost (r3 Run B). Padded lanes
+    repeat the last job and their outputs are dropped."""
+    params, ref = setup
+    T = 6
+    tokens = np.arange(T, dtype=np.int32)
+    key = jax.random.PRNGKey(3)
+
+    async def run():
+        sched = S3GenScheduler(params, CFG, max_batch=8, state_tokens=STATE_TOKENS)
+        calls = []
+        real_fn = sched._infer_fn
+
+        def spy(Tb, B):
+            calls.append((Tb, B))
+            return real_fn(Tb, B)
+
+        sched._infer_fn = spy
+        try:
+            res = await asyncio.gather(
+                *[sched.synthesize(tokens, T, ref, None, 0, key) for _ in range(3)]
+            )
+            return calls, res
+        finally:
+            sched.stop()
+
+    calls, res = asyncio.run(run())
+    assert calls == [(T, 4)], calls  # one padded call, not (T,2)+(T,1)
+    assert len(res) == 3
+    for tail, start, _ in res:
+        assert start == 0
+        np.testing.assert_array_equal(tail, res[0][0])
+
+
+def test_keep_state_false_returns_none(setup):
+    """Zero-overlap callers discard the source row; the scheduler must skip
+    the per-row device gather and hand back None."""
+    params, ref = setup
+    T = 6
+    tokens = np.arange(T, dtype=np.int32)
+    key = jax.random.PRNGKey(5)
+
+    async def run():
+        sched = S3GenScheduler(params, CFG, max_batch=4, state_tokens=STATE_TOKENS)
+        try:
+            keep = sched.synthesize(tokens, T, ref, None, 0, key, keep_state=True)
+            drop = sched.synthesize(tokens, T, ref, None, 0, key, keep_state=False)
+            return await asyncio.gather(keep, drop)
+        finally:
+            sched.stop()
+
+    (tail_k, _, state_k), (tail_d, _, state_d) = asyncio.run(run())
+    assert state_d is None
+    assert state_k is not None
+    np.testing.assert_array_equal(tail_k, tail_d)
