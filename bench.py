@@ -67,6 +67,17 @@ def _load_measured() -> dict | None:
             None,
         )
         row = rows.get("full") or next(iter(rows.values()), None)
+        # aggregate throughput (audio seconds produced per wall second) at the
+        # largest measured full-overlap wave: the steady-state capacity bound.
+        # Lockstep waves make every stream's wall = the wave's wall, so the
+        # all-realtime capacity is the harshest reading; staggered production
+        # arrivals sustain ~aggregate_x streams.
+        agg = max(
+            (r["audio_s_total"] / r["wall_s"]
+             for r in data.get("results", [])
+             if r.get("overlap") == "full" and r.get("wall_s")),
+            default=None,
+        )
         if cap is not None:
             # capacity sweep: the largest all-realtime simultaneous wave.
             # Stats must come from the capacity wave itself, not the last
@@ -87,6 +98,7 @@ def _load_measured() -> dict | None:
                 "capacity": cap,
                 "ttfa_p50_ms": cap_row["ttfa_p50_ms"] if cap_row else None,
                 "rtf_p50": cap_row["rtf_p50"] if cap_row else None,
+                "aggregate_x": round(agg, 2) if agg else None,
             }
         if row:
             return {
@@ -96,6 +108,7 @@ def _load_measured() -> dict | None:
                 "realtime_streams": row["realtime_streams"],
                 "ttfa_p50_ms": row["ttfa_p50_ms"],
                 "rtf_p50": row["rtf_p50"],
+                "aggregate_x": round(agg, 2) if agg else None,
             }
     except (FileNotFoundError, json.JSONDecodeError, KeyError):
         pass
@@ -117,7 +130,8 @@ def main() -> None:
                 "unit": (
                     f"streams MEASURED@{measured['measured_at']} "
                     f"(overlap={measured['overlap']}, rtf_p50={measured['rtf_p50']}, "
-                    f"ttfa_p50={measured['ttfa_p50_ms']}ms; "
+                    f"ttfa_p50={measured['ttfa_p50_ms']}ms, "
+                    f"aggregate={measured['aggregate_x']}x realtime; "
                     "DEVICE UNAVAILABLE at bench time — persisted serve_bench result)"
                 ),
                 "vs_baseline": round(value / 16.0, 3),
@@ -352,7 +366,8 @@ def main() -> None:
         unit = (
             f"streams MEASURED@{measured['measured_at']} "
             f"(overlap={measured['overlap']}, rtf_p50={measured['rtf_p50']}, "
-            f"ttfa_p50={measured['ttfa_p50_ms']}ms; analytic={streams})"
+            f"ttfa_p50={measured['ttfa_p50_ms']}ms, "
+            f"aggregate={measured['aggregate_x']}x realtime; analytic={streams})"
         )
     else:
         value = streams
