@@ -60,13 +60,20 @@ def _load_measured() -> dict | None:
             data = json.load(f)
         if data.get("tiny"):
             return None
-        rows = {r["overlap"]: r for r in data.get("results", []) if "overlap" in r}
+        all_rows = [r for r in data.get("results", []) if "overlap" in r]
         cap = next(
             (r["capacity_streams"] for r in data.get("results", [])
              if "capacity_streams" in r),
             None,
         )
-        row = rows.get("full") or next(iter(rows.values()), None)
+        # best full-overlap wave: the one sustaining the most real-time
+        # streams (covers partial capacity sweeps cut short by an outage —
+        # the ladder's last row is otherwise the first FAILING wave)
+        full_rows = [r for r in all_rows if r["overlap"] == "full"]
+        row = (
+            max(full_rows, key=lambda r: (r["realtime_streams"], r["streams"]))
+            if full_rows else (all_rows[-1] if all_rows else None)
+        )
         # aggregate throughput (audio seconds produced per wall second) at the
         # largest measured full-overlap wave: the steady-state capacity bound.
         # Lockstep waves make every stream's wall = the wave's wall, so the

@@ -142,6 +142,26 @@ async def run(args) -> None:
             }
 
         results_out = []
+        out_path = os.environ.get(
+            "SERVE_BENCH_OUT",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "serve_bench_results.json"),
+        )
+
+        def persist(partial: bool) -> None:
+            # persist for bench.py to embed (VERDICT r2 item 8) — after EVERY
+            # wave, not only at the end: the tunneled runtime has multi-hour
+            # outages mid-run, and a partial sweep is still an honest
+            # measurement (rows carry which waves ran)
+            if out_path and out_path != "0":
+                with open(out_path, "w") as f:
+                    json.dump(
+                        {"measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                         "tiny": bool(args.tiny), "partial": partial,
+                         "results": results_out},
+                        f, indent=1,
+                    )
+
         if args.capacity:
             # Capacity sweep: the N-stream simultaneous wave is lockstep (all
             # requests share the batched decode and finish together), so
@@ -159,6 +179,7 @@ async def run(args) -> None:
                     out = await run_wave(n, overlap, base + 100 * n)
                     print(json.dumps(out), flush=True)
                     results_out.append(out)
+                    persist(partial=True)
                     if out["realtime_streams"] == n:
                         cap = n
                     else:
@@ -175,20 +196,8 @@ async def run(args) -> None:
                 out = await run_wave(args.streams, overlap, 1000)
                 results_out.append(out)
                 print(json.dumps(out), flush=True)
-        # persist for bench.py to embed (VERDICT r2 item 8: the driver-visible
-        # number must carry the latest measured result, not stay analytic)
-        out_path = os.environ.get(
-            "SERVE_BENCH_OUT",
-            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                         "serve_bench_results.json"),
-        )
-        if out_path and out_path != "0":
-            with open(out_path, "w") as f:
-                json.dump(
-                    {"measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
-                     "tiny": bool(args.tiny), "results": results_out},
-                    f, indent=1,
-                )
+                persist(partial=True)
+        persist(partial=False)
     await runner.cleanup()
 
 
