@@ -63,13 +63,17 @@ def main() -> None:
         np.asarray(y)
         launch.append(time.perf_counter() - t0)
 
-    # 3) device→host bandwidth: 4 MB block fetch
-    big = jax.device_put(jnp.zeros((1024 * 1024,), jnp.float32))  # 4 MB
-    np.asarray(big)
+    # 3) device→host bandwidth: 4 MB block fetch of a FRESH output each time
+    # (np.asarray on the same jax.Array caches the host copy — fetching the
+    # same buffer twice measures the cache, not the tunnel)
+    mk_big = jax.jit(lambda s: jnp.zeros((1024 * 1024,), jnp.float32) + s)
+    np.asarray(mk_big(0.0))
     fetches = []
-    for _ in range(5):
+    for i in range(5):
+        y = mk_big(float(i + 1))
+        jax.block_until_ready(y)
         t0 = time.perf_counter()
-        np.asarray(big)
+        np.asarray(y)
         fetches.append(time.perf_counter() - t0)
 
     # 4) host→device bandwidth: 4 MB put (block on completion)
