@@ -43,15 +43,22 @@ async def _one_request(session, url: str, idx: int, overlap: str = "full") -> di
     }
     if os.environ.get("SERVE_BENCH_SLICE"):
         params["audio_tokens_per_slice"] = os.environ["SERVE_BENCH_SLICE"]
+    ttfa_audio = None
     async with session.get(url, params=params) as resp:
         assert resp.status == 200, f"status {resp.status}"
         async for chunk in resp.content.iter_chunked(65536):
             if ttfa is None and chunk:
                 ttfa = time.perf_counter() - t0
             n_bytes += len(chunk)
+            # first bytes past the 44-byte WAV header = first actual audio;
+            # at low load the first-body-chunk probe (reference methodology)
+            # measures only the header flush
+            if ttfa_audio is None and n_bytes > 44:
+                ttfa_audio = time.perf_counter() - t0
     wall = time.perf_counter() - t0
     audio_s = max(n_bytes - 44, 0) / 2 / 24000  # 16-bit mono 24 kHz after header
-    return {"ttfa": ttfa or wall, "wall": wall, "audio_s": audio_s}
+    return {"ttfa": ttfa or wall, "ttfa_audio": ttfa_audio or wall,
+            "wall": wall, "audio_s": audio_s}
 
 
 async def run(args) -> None:
@@ -127,12 +134,14 @@ async def run(args) -> None:
                 if dn:
                     breakdown[name] = {"time_s": dt, "count": dn}
             ttfas = sorted(r["ttfa"] for r in results)
+            ttfas_audio = sorted(r["ttfa_audio"] for r in results)
             rtfs = sorted(r["wall"] / max(r["audio_s"], 1e-6) for r in results)
             return {
                 "overlap": overlap,
                 "streams": n,
                 "realtime_streams": sum(1 for r in rtfs if r < 1.0),
                 "ttfa_p50_ms": round(statistics.median(ttfas) * 1e3, 1),
+                "ttfa_audio_p50_ms": round(statistics.median(ttfas_audio) * 1e3, 1),
                 "ttfa_p99_ms": round(ttfas[min(len(ttfas) - 1, int(0.99 * len(ttfas)))] * 1e3, 1),
                 "rtf_p50": round(statistics.median(rtfs), 4),
                 "rtf_max": round(rtfs[-1], 4),
