@@ -74,17 +74,27 @@ def _load_measured() -> dict | None:
             max(full_rows, key=lambda r: (r["realtime_streams"], r["streams"]))
             if full_rows else (all_rows[-1] if all_rows else None)
         )
-        # aggregate throughput (audio seconds produced per wall second) at the
-        # largest measured full-overlap wave: the steady-state capacity bound.
-        # Lockstep waves make every stream's wall = the wave's wall, so the
-        # all-realtime capacity is the harshest reading; staggered production
-        # arrivals sustain ~aggregate_x streams.
-        agg = max(
-            (r["audio_s_total"] / r["wall_s"]
-             for r in data.get("results", [])
-             if r.get("overlap") == "full" and r.get("wall_s")),
-            default=None,
-        )
+        # aggregate throughput (audio seconds produced per wall second) over
+        # the full-overlap waves where EVERY stream held real time — the
+        # sustainable steady-state bound. Over-capacity waves are excluded:
+        # their peak audio/wall is throughput-under-overload, not capacity
+        # (ADVICE r3). Lockstep waves make every stream's wall = the wave's
+        # wall, so the all-realtime capacity is the harshest reading;
+        # staggered production arrivals sustain ~aggregate_x streams.
+        def _agg(rows):
+            return max(
+                (r["audio_s_total"] / r["wall_s"] for r in rows
+                 if r.get("wall_s")),
+                default=None,
+            )
+
+        full_ok = [r for r in all_rows if r["overlap"] == "full"
+                   and r.get("realtime_streams") == r.get("streams")]
+        agg = _agg(full_ok)
+        agg_overload = False
+        if agg is None:
+            agg = _agg([r for r in all_rows if r["overlap"] == "full"])
+            agg_overload = agg is not None
         if cap is not None:
             # capacity sweep: the largest all-realtime simultaneous wave.
             # Stats must come from the capacity wave itself, not the last
@@ -104,8 +114,10 @@ def _load_measured() -> dict | None:
                 "realtime_streams": cap_full,
                 "capacity": cap,
                 "ttfa_p50_ms": cap_row["ttfa_p50_ms"] if cap_row else None,
+                "ttfa_audio_p50_ms": (cap_row or {}).get("ttfa_audio_p50_ms"),
                 "rtf_p50": cap_row["rtf_p50"] if cap_row else None,
-                "aggregate_x": round(agg, 2) if agg else None,
+                "aggregate_x": round(agg, 2) if agg is not None else None,
+                "aggregate_overload": agg_overload,
             }
         if row:
             return {
@@ -114,12 +126,34 @@ def _load_measured() -> dict | None:
                 "streams": row["streams"],
                 "realtime_streams": row["realtime_streams"],
                 "ttfa_p50_ms": row["ttfa_p50_ms"],
+                "ttfa_audio_p50_ms": row.get("ttfa_audio_p50_ms"),
                 "rtf_p50": row["rtf_p50"],
-                "aggregate_x": round(agg, 2) if agg else None,
+                "aggregate_x": round(agg, 2) if agg is not None else None,
+                "aggregate_overload": agg_overload,
             }
     except (FileNotFoundError, json.JSONDecodeError, KeyError):
         pass
     return None
+
+
+def _measured_unit(measured: dict, extra: str) -> str:
+    """Human-readable unit string for a persisted measured result. The
+    aggregate clause is omitted when no wave produced one, and labelled as
+    overload throughput when only over-capacity waves exist (ADVICE r3)."""
+    parts = [
+        f"overlap={measured['overlap']}",
+        f"rtf_p50={measured['rtf_p50']}",
+        f"ttfa_p50={measured['ttfa_p50_ms']}ms",
+    ]
+    if measured.get("ttfa_audio_p50_ms") is not None:
+        parts.append(f"ttfa_audio_p50={measured['ttfa_audio_p50_ms']}ms")
+    if measured.get("aggregate_x") is not None:
+        label = ("peak_overload" if measured.get("aggregate_overload")
+                 else "aggregate")
+        parts.append(f"{label}={measured['aggregate_x']}x realtime")
+    parts.append(extra)
+    return (f"streams MEASURED@{measured['measured_at']} "
+            f"({', '.join(parts)})")
 
 
 def _emit_fallback(reason: str) -> None:
@@ -133,13 +167,8 @@ def _emit_fallback(reason: str) -> None:
         print(json.dumps({
             "metric": "concurrent_realtime_streams_per_chip",
             "value": value,
-            "unit": (
-                f"streams MEASURED@{measured['measured_at']} "
-                f"(overlap={measured['overlap']}, rtf_p50={measured['rtf_p50']}, "
-                f"ttfa_p50={measured['ttfa_p50_ms']}ms, "
-                f"aggregate={measured['aggregate_x']}x realtime; "
-                f"{reason} — persisted serve_bench result)"
-            ),
+            "unit": _measured_unit(
+                measured, f"{reason} — persisted serve_bench result"),
             "vs_baseline": round(value / 16.0, 3),
         }))
         return
@@ -381,12 +410,7 @@ def _main_live() -> None:
 
     if measured is not None:
         value = measured["realtime_streams"]
-        unit = (
-            f"streams MEASURED@{measured['measured_at']} "
-            f"(overlap={measured['overlap']}, rtf_p50={measured['rtf_p50']}, "
-            f"ttfa_p50={measured['ttfa_p50_ms']}ms, "
-            f"aggregate={measured['aggregate_x']}x realtime; analytic={streams})"
-        )
+        unit = _measured_unit(measured, f"analytic={streams}")
     else:
         value = streams
         unit = (

@@ -307,7 +307,13 @@ class TTSEngine:
         self._state = InitializationState.NOT_STARTED
         self._progress = ""
         self._error: Optional[str] = None
-        self.tts_semaphore = asyncio.Semaphore(settings.CONCURRENT_REQUESTS_PER_WORKER)
+        # 0 = auto: admit as many concurrent requests as there are decode
+        # slots, so the continuous-batching scheduler actually batches out of
+        # the box (documented deviation from the reference's 1 — config.py)
+        concurrency = settings.CONCURRENT_REQUESTS_PER_WORKER or max(
+            1, settings.MAX_DECODE_SLOTS
+        )
+        self.tts_semaphore = asyncio.Semaphore(concurrency)
         # "full"-overlap re-synthesis window in tokens (0 = reference
         # behavior: re-synthesize the whole accumulated stream every slice)
         self.overlap_window = int(

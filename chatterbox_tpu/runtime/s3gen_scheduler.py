@@ -251,7 +251,15 @@ class S3GenScheduler:
             # per-call fixed cost (~0.6 s dispatch+fetch on the tunneled
             # runtime, measured r3 Run B) — padding 6→8 wastes two lanes of
             # MXU compute instead, which is far cheaper at serving buckets.
-            take = min(len(queue), self.allowed_batch(bucket))
+            # Clamp the padded size to the largest power of two WITHIN the
+            # cap: with a non-power-of-two max_batch (or learned cap), rounding
+            # take up could otherwise dispatch an over-budget variant and burn
+            # a compile/OOM cycle before ban_batch recovers (ADVICE r3).
+            allowed = self.allowed_batch(bucket)
+            b_cap = 1
+            while b_cap * 2 <= allowed:
+                b_cap *= 2
+            take = min(len(queue), b_cap)
             B = 1
             while B < take:
                 B *= 2

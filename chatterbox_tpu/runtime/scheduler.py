@@ -124,6 +124,9 @@ class BatchedT3Decoder:
         self._lookahead: Dict[int, int] = {}
         self._cancels: Dict[int, Optional[CancellationToken]] = {}
         self._pending: "asyncio.Queue[_Submission]" = asyncio.Queue()
+        # high-watermark of slots decoded in one slice: observability that
+        # continuous batching actually batches (tested out-of-the-box)
+        self.max_active_seen = 0
         self._wake = asyncio.Event()
         self._task: Optional[asyncio.Task] = None
         self._loop: Optional[asyncio.AbstractEventLoop] = None
@@ -449,6 +452,7 @@ class BatchedT3Decoder:
                         active.remove(slot)
                 if not active:
                     continue
+                self.max_active_seen = max(self.max_active_seen, len(active))
 
                 # Fresh look-ahead admissions (nothing produced yet) get a
                 # SHORT slice so their first audio doesn't wait behind a full
