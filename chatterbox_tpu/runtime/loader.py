@@ -122,6 +122,22 @@ def convert_t3(
         "cond_enc.emotion_adv_fc.weight": ("cond", "emotion", "w"),
         "cond_enc.emotion_adv_fc.bias": ("cond", "emotion", "b"),
     }
+    if "perceiver" in params["cond"]:
+        # public Chatterbox Perceiver state-dict (one shared AttentionBlock2
+        # applied cross then self — models/t3/model.py perceiver_resample)
+        flat_map.update({
+            "cond_enc.perceiver.pre_attention_query": ("cond", "perceiver", "query"),
+            "cond_enc.perceiver.attn.norm.weight": ("cond", "perceiver", "attn", "norm_w"),
+            "cond_enc.perceiver.attn.norm.bias": ("cond", "perceiver", "attn", "norm_b"),
+            "cond_enc.perceiver.attn.to_q.weight": ("cond", "perceiver", "attn", "wq", "w"),
+            "cond_enc.perceiver.attn.to_q.bias": ("cond", "perceiver", "attn", "wq", "b"),
+            "cond_enc.perceiver.attn.to_k.weight": ("cond", "perceiver", "attn", "wk", "w"),
+            "cond_enc.perceiver.attn.to_k.bias": ("cond", "perceiver", "attn", "wk", "b"),
+            "cond_enc.perceiver.attn.to_v.weight": ("cond", "perceiver", "attn", "wv", "w"),
+            "cond_enc.perceiver.attn.to_v.bias": ("cond", "perceiver", "attn", "wv", "b"),
+            "cond_enc.perceiver.attn.proj_out.weight": ("cond", "perceiver", "attn", "wo", "w"),
+            "cond_enc.perceiver.attn.proj_out.bias": ("cond", "perceiver", "attn", "wo", "b"),
+        })
     for key, path in flat_map.items():
         for candidate in (key, "t3." + key):
             if candidate in raw:
@@ -129,6 +145,8 @@ def convert_t3(
                 v = raw[candidate]
                 if v.ndim == 2 and path[-1] in ("w",):
                     v = v.T
+                if path[-1] == "query" and v.ndim == 3 and v.shape[0] == 1:
+                    v = v[0]  # checkpoint stores the query bank as [1, N, D]
                 _assign(params, list(path), v, dtype, report,
                         row_prefix=path[-1] in ("text_pos", "speech_pos"))
                 break

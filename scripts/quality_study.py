@@ -46,6 +46,14 @@ VARIANTS = [
     ("cfm8_overlap105", {"CHATTERBOX_CFM_STEPS": "8",
                          "CHATTERBOX_OVERLAP_WINDOW_TOKENS": "105"}),
     ("kv_native", {"CHATTERBOX_KV": "native"}),
+    # lever 1 (BENCH_NOTES Run C): a 70-token slice halves how often the
+    # ~500-frame voice-prompt window is re-encoded per audio second. Same
+    # tokens, same noise key — only the slice boundaries move, so the delta
+    # vs default isolates the re-synthesis seam sensitivity.
+    ("slice_70", {"STUDY_SLICE": "70"}),
+    ("slice70_cfm8", {"STUDY_SLICE": "70", "CHATTERBOX_CFM_STEPS": "8"}),
+    ("slice70_cfm8_window140", {"STUDY_SLICE": "70", "CHATTERBOX_CFM_STEPS": "8",
+                                "CHATTERBOX_OVERLAP_WINDOW_TOKENS": "140"}),
 ]
 
 # Tiny-model harness check (production values never bind on the 64-token
@@ -79,7 +87,8 @@ async def synth():
     async for chunk in engine.stream(
         text=os.environ["STUDY_TEXT"], output_format="wav", voice_id=None,
         cfg_guidance_weight=0.5, synthesis_temperature=0.8,
-        text_processing_chunk_size=150, audio_tokens_per_slice=35,
+        text_processing_chunk_size=150,
+        audio_tokens_per_slice=int(os.environ.get("STUDY_SLICE", "35")),
         remove_trailing_milliseconds=0, remove_leading_milliseconds=0,
         chunk_overlap_strategy="full", crossfade_duration_milliseconds=30,
         request_id="quality-study", cancellation_token=CancellationToken(),
@@ -111,6 +120,10 @@ def main() -> None:
             REPO_ROOT=repo_root, STUDY_TEXT=args.text, STUDY_OUT=out_wav,
             CHATTERBOX_S3GEN_ARCH="ref", CHATTERBOX_PRECOMPILE="0",
         )
+        # random-weight decode never emits EOS; cap generation like
+        # serve_bench does (~10 s audio per text chunk, the real-checkpoint
+        # EOS ballpark) so full-overlap variants terminate in bounded time
+        env.setdefault("CHATTERBOX_MAX_NEW_TOKENS", "250")
         if args.tiny:
             env.update(CHATTERBOX_TINY_MODEL="1", CHATTERBOX_FORCE_CPU="1")
         sys.stderr.write(f"synthesizing variant {name}...\n")

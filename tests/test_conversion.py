@@ -65,6 +65,16 @@ def _synth_t3_raw(params) -> dict:
     }
     for key, shape in flat.items():
         raw[key] = rnd(shape)
+    if "perceiver" in params["cond"]:
+        # public Chatterbox Perceiver state-dict: [1, N, D] query bank + one
+        # shared attention block (LayerNorm + 4 biased linears)
+        N, D = params["cond"]["perceiver"]["query"].shape
+        raw["cond_enc.perceiver.pre_attention_query"] = rnd((1, N, D))
+        raw["cond_enc.perceiver.attn.norm.weight"] = 1.0 + rnd((D,))
+        raw["cond_enc.perceiver.attn.norm.bias"] = rnd((D,))
+        for lin in ("to_q", "to_k", "to_v", "proj_out"):
+            raw[f"cond_enc.perceiver.attn.{lin}.weight"] = rnd((D, D))
+            raw[f"cond_enc.perceiver.attn.{lin}.bias"] = rnd((D,))
     return raw
 
 
@@ -91,6 +101,75 @@ def test_convert_t3_consumes_every_tensor_with_right_transposes():
     np.testing.assert_allclose(  # embeddings load untransposed
         np.asarray(params["text_emb"]), raw["text_emb.weight"], atol=1e-6
     )
+
+
+def test_perceiver_conversion_matches_torch():
+    """Numeric validation of the perceiver mapping: a torch forward of the
+    public Chatterbox Perceiver structure (query bank + ONE shared residual
+    attention block applied cross then self — LayerNorm on both inputs,
+    biased q/k/v/out linears, softmax(QKᵀ/√Dh)V) must equal our
+    ``perceiver_resample`` on the converted weights. Catches transpose or
+    norm-placement drift that the consume-all test cannot see."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    cfg = T3C
+    D, heads = cfg.hidden_size, cfg.perceiver_heads
+    params = init_t3_params(jax.random.PRNGKey(0), cfg)
+    raw = _synth_t3_raw(params)
+    params = convert_t3(raw, params, jnp.float32)
+
+    tw = {k: torch.tensor(raw[f"cond_enc.perceiver.attn.{k}"])
+          for k in ("norm.weight", "norm.bias", "to_q.weight", "to_q.bias",
+                    "to_k.weight", "to_k.bias", "to_v.weight", "to_v.bias",
+                    "proj_out.weight", "proj_out.bias")}
+
+    def block(x1, x2):
+        x1n = F.layer_norm(x1, (D,), tw["norm.weight"], tw["norm.bias"])
+        x2n = F.layer_norm(x2, (D,), tw["norm.weight"], tw["norm.bias"])
+        q = F.linear(x1n, tw["to_q.weight"], tw["to_q.bias"])
+        k = F.linear(x2n, tw["to_k.weight"], tw["to_k.bias"])
+        v = F.linear(x2n, tw["to_v.weight"], tw["to_v.bias"])
+        B, Sq, _ = q.shape
+        split = lambda t: t.view(B, t.shape[1], heads, D // heads).transpose(1, 2)
+        h = F.scaled_dot_product_attention(split(q), split(k), split(v))
+        h = h.transpose(1, 2).reshape(B, Sq, D)
+        return x1 + F.linear(h, tw["proj_out.weight"], tw["proj_out.bias"])
+
+    B, P = 2, cfg.speech_cond_prompt_len
+    rng = np.random.default_rng(7)
+    prompt = rng.standard_normal((B, P, D)).astype(np.float32)
+    with torch.no_grad():
+        tq = torch.tensor(
+            np.tile(raw["cond_enc.perceiver.pre_attention_query"], (B, 1, 1))
+        )
+        pre = block(tq, torch.tensor(prompt))
+        ref_out = block(pre, pre).numpy()
+
+    from chatterbox_tpu.models.t3.model import perceiver_resample
+
+    ours = np.asarray(
+        perceiver_resample(params["cond"]["perceiver"], cfg, jnp.asarray(prompt))
+    )
+    np.testing.assert_allclose(ours, ref_out, atol=2e-5, rtol=1e-3)
+
+
+def test_perceiver_valid_mask_identity_for_full_prompt():
+    """kv-masking is our addition for short clips; with a full-length prompt
+    it must be the exact identity (checkpoint-parity path)."""
+    from chatterbox_tpu.models.t3.model import perceiver_resample
+
+    cfg = T3C
+    params = init_t3_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(9)
+    prompt = jnp.asarray(
+        rng.standard_normal((1, cfg.speech_cond_prompt_len, cfg.hidden_size))
+        .astype(np.float32)
+    )
+    full = jnp.ones((1, cfg.speech_cond_prompt_len), bool)
+    a = perceiver_resample(params["cond"]["perceiver"], cfg, prompt)
+    b = perceiver_resample(params["cond"]["perceiver"], cfg, prompt, full)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
 def test_convert_t3_changes_forward():

@@ -111,14 +111,14 @@ def test_diff_against_manifest_buckets():
         # parametrized weight-norm spelling; original0 stored as flattened [4]
         "b.parametrizations.weight.original0": (4,),
         "b.parametrizations.weight.original1": (4, 2, 3),
-        "cond_enc.perceiver.attn.to_q.weight": (8, 8),  # known-unmapped
-        "surprise.weight": (3,),                         # genuinely unexpected
+        "tfmr.embed_tokens.weight": (8, 8),  # known-unmapped (unused by T3)
+        "surprise.weight": (3,),             # genuinely unexpected
     }
     diff = diff_against_manifest(actual, expected)
     assert diff["unexpected"] == ["surprise.weight"]
     assert diff["missing"] == ["gone.weight"]
     assert diff["shape_mismatch"] == []
-    assert diff["known_unmapped"] == ["cond_enc.perceiver.attn.to_q.weight"]
+    assert diff["known_unmapped"] == ["tfmr.embed_tokens.weight"]
 
     bad = dict(actual)
     bad["a.weight"] = (4, 3)
