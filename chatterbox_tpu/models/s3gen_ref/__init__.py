@@ -16,5 +16,6 @@ from .model import (  # noqa: F401
     s3gen_ref_embed_ref,
     s3gen_ref_inference,
     s3gen_ref_inference_tail,
+    s3gen_ref_prompt_prefill,
 )
 from .tokenizer import s3tok_ref_tokenize  # noqa: F401

@@ -49,13 +49,39 @@ _NOISE_FRAMES = 2048
 
 
 def _group_norm(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, groups: int = 8,
-                eps: float = 1e-5, valid: jnp.ndarray | None = None) -> jnp.ndarray:
+                eps: float = 1e-5, valid: jnp.ndarray | None = None,
+                extra: Dict | None = None, cap: bool = False):
     """torch GroupNorm over [B, T, C] (normalizes per group over (T, C/g)).
 
     ``valid`` ([B, T] bool) restricts the statistics to valid frames so a
-    padded batch reproduces the reference's unpadded computation exactly."""
+    padded batch reproduces the reference's unpadded computation exactly.
+
+    Prompt-cache support (CFM prompt prefill — see cfm_prompt_prefill):
+    ``cap`` additionally returns this region's sufficient statistics
+    ``{"s1": Σx [B,G], "s2": Σx² [B,G], "n": frame count [B]}``; ``extra``
+    merges cached statistics from a frozen prompt region into this call's
+    own, so the generated region normalizes with (frozen-prompt ∪ own)
+    statistics. The sufficient-statistics form E[x²]−E[x]² is mathematically
+    identical to the two-pass form below (fp rounding aside)."""
     B, T, C = x.shape
     g = x.astype(jnp.float32).reshape(B, T, groups, C // groups)
+    if cap or extra is not None:
+        vm = valid[:, :, None, None].astype(jnp.float32)
+        s1 = jnp.sum(g * vm, axis=(1, 3))                    # [B, G]
+        s2 = jnp.sum(jnp.square(g) * vm, axis=(1, 3))
+        n = jnp.sum(valid.astype(jnp.float32), axis=1)       # [B]
+        if extra is not None:
+            s1 = s1 + extra["s1"]
+            s2 = s2 + extra["s2"]
+            n = n + extra["n"]
+        denom = jnp.maximum(n[:, None] * (C // groups), 1.0)
+        mean = s1 / denom
+        var = jnp.maximum(s2 / denom - jnp.square(mean), 0.0)
+        gn = (g - mean[:, None, :, None]) * jax.lax.rsqrt(var[:, None, :, None] + eps)
+        out = gn.reshape(B, T, C).astype(x.dtype) * w + b
+        if cap:
+            return out, {"s1": s1, "s2": s2, "n": n}
+        return out
     if valid is None:
         mean = jnp.mean(g, axis=(1, 3), keepdims=True)
         var = jnp.mean(jnp.square(g - mean), axis=(1, 3), keepdims=True)
@@ -66,6 +92,33 @@ def _group_norm(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, groups: int = 8,
         var = jnp.sum(jnp.square(g - mean) * vm, axis=(1, 3), keepdims=True) / denom
     g = (g - mean) * jax.lax.rsqrt(var + eps)
     return g.reshape(B, T, C).astype(x.dtype) * w + b
+
+
+def _conv_h(x: jnp.ndarray, p: Dict, pc: jnp.ndarray | None = None,
+            cap: bool = False):
+    """SAME_TORCH conv1d with optional frozen left context at the
+    prompt/generated boundary.
+
+    ``pc`` ([B, (K−1)//2, C]): cached prompt-boundary frames prepended as the
+    left context (replacing SAME_TORCH's zero left pad) so the generated
+    region's first frames convolve over the real prompt tail. ``cap``
+    additionally returns this region's own boundary frames for caching.
+    The right edge keeps the zero pad in both modes (the prompt's right-edge
+    frame is computed without sight of generated frames — part of the
+    one-way prompt-cache deviation documented in cfm_prompt_prefill)."""
+    w, b = p["w"], p["b"]
+    hw = (w.shape[0] - 1) // 2
+    if pc is not None and hw:
+        B, _, C = x.shape
+        ext = jnp.concatenate(
+            [pc.astype(x.dtype), x, jnp.zeros((B, hw, C), x.dtype)], axis=1
+        )
+        out = conv1d(ext, w, b, padding="VALID")
+    else:
+        out = conv1d(x, w, b, padding="SAME_TORCH")
+    if cap:
+        return out, x[:, x.shape[1] - hw:]
+    return out
 
 
 def _mish(x: jnp.ndarray) -> jnp.ndarray:
@@ -135,24 +188,58 @@ def _time_embedding(p: Dict, cfg: FlowRefConfig, t: jnp.ndarray) -> jnp.ndarray:
 
 
 def _resnet(p: Dict, x: jnp.ndarray, mask: jnp.ndarray, valid: jnp.ndarray,
-            temb: jnp.ndarray) -> jnp.ndarray:
+            temb: jnp.ndarray, pc: Dict | None = None, cap: bool = False):
     xm = x * mask
-    h = conv1d(xm, p["block1"]["conv"]["w"], p["block1"]["conv"]["b"], padding="SAME_TORCH")
-    h = _mish(_group_norm(h, p["block1"]["gn"]["w"], p["block1"]["gn"]["b"], valid=valid))
+    h = _conv_h(xm, p["block1"]["conv"], pc["h1"] if pc else None, cap)
+    if cap:
+        h, r_h1 = h
+    h = _group_norm(h, p["block1"]["gn"]["w"], p["block1"]["gn"]["b"], valid=valid,
+                    extra=pc["g1"] if pc else None, cap=cap)
+    if cap:
+        h, r_g1 = h
+    h = _mish(h)
     h = h + linear(_mish(temb), p["mlp"]["w"], p["mlp"]["b"])[:, None]
-    h = conv1d(h * mask, p["block2"]["conv"]["w"], p["block2"]["conv"]["b"], padding="SAME_TORCH")
-    h = _mish(_group_norm(h, p["block2"]["gn"]["w"], p["block2"]["gn"]["b"], valid=valid))
-    return h + conv1d(xm, p["res"]["w"], p["res"]["b"])
+    h = _conv_h(h * mask, p["block2"]["conv"], pc["h2"] if pc else None, cap)
+    if cap:
+        h, r_h2 = h
+    h = _group_norm(h, p["block2"]["gn"]["w"], p["block2"]["gn"]["b"], valid=valid,
+                    extra=pc["g2"] if pc else None, cap=cap)
+    if cap:
+        h, r_g2 = h
+    h = _mish(h)
+    out = h + conv1d(xm, p["res"]["w"], p["res"]["b"])
+    if cap:
+        return out, {"h1": r_h1, "g1": r_g1, "h2": r_h2, "g2": r_g2}
+    return out
 
 
-def _tf_block(p: Dict, cfg: FlowRefConfig, x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+def _tf_block(p: Dict, cfg: FlowRefConfig, x: jnp.ndarray, valid: jnp.ndarray,
+              pc: Dict | None = None, pvalid: jnp.ndarray | None = None,
+              cap: bool = False):
+    """DiT-style block (no positional encoding — position flows in through
+    the surrounding convs, so cross-attending generated queries to cached
+    prompt K/V needs no positional bookkeeping).
+
+    ``pc`` ({"k","v"}: [B, P, H, dh] frozen prompt keys/values, masked by
+    ``pvalid`` [B, P]) prepends the prompt context to this call's own keys;
+    ``cap`` additionally returns this region's K/V for caching."""
     B, T, C = x.shape
     H, dh = cfg.dec_num_heads, cfg.dec_attention_head_dim
     h = layer_norm(x, p["norm1"]["w"], p["norm1"]["b"])
     q = linear(h, p["to_q"]["w"]).reshape(B, T, H, dh)
     k = linear(h, p["to_k"]["w"]).reshape(B, T, H, dh)
     v = linear(h, p["to_v"]["w"]).reshape(B, T, H, dh)
-    if _flash_active():
+    if pc is not None:
+        k_all = jnp.concatenate([pc["k"].astype(k.dtype), k], axis=1)
+        v_all = jnp.concatenate([pc["v"].astype(v.dtype), v], axis=1)
+        kv_valid = jnp.concatenate([pvalid, valid], axis=1)
+        scores = jnp.einsum("bihd,bjhd->bhij", q, k_all,
+                            preferred_element_type=jnp.float32) / np.sqrt(dh)
+        scores = jnp.where(kv_valid[:, None, None, :], scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v_all.dtype)
+        out = jnp.einsum("bhij,bjhd->bihd", probs, v_all,
+                         preferred_element_type=jnp.float32)
+    elif _flash_active():
         o = flash_mha(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3), valid,
@@ -167,7 +254,10 @@ def _tf_block(p: Dict, cfg: FlowRefConfig, x: jnp.ndarray, valid: jnp.ndarray) -
     x = x + linear(out.reshape(B, T, H * dh).astype(x.dtype), p["to_out"]["w"], p["to_out"]["b"])
     h = layer_norm(x, p["norm3"]["w"], p["norm3"]["b"])
     h = linear(jax.nn.gelu(linear(h, p["ff1"]["w"], p["ff1"]["b"])), p["ff2"]["w"], p["ff2"]["b"])
-    return x + h
+    out = x + h
+    if cap:
+        return out, {"k": k, "v": v}
+    return out
 
 
 def estimator_forward(
@@ -179,37 +269,71 @@ def estimator_forward(
     cond: jnp.ndarray,    # [B, T, M] prompt-mel conditioning track
     t: jnp.ndarray,       # [B] flow time
     valid: jnp.ndarray,   # [B, T] bool
-) -> jnp.ndarray:
-    """One vector-field evaluation → [B, T, M]."""
+    pc: Dict | None = None,
+    cap: bool = False,
+):
+    """One vector-field evaluation → [B, T, M].
+
+    ``pc`` ({"pv": [B, P] prompt key mask, "est": one step's captured prompt
+    tree}): the generated region attends/convolves/normalizes against the
+    frozen prompt context instead of carrying the prompt frames in ``x``.
+    ``cap`` returns ``(out, captured_tree)`` for cfm_prompt_prefill."""
     B, T, _ = x.shape
     mask = valid[:, :, None].astype(x.dtype)
     temb = _time_embedding(params["time_mlp"], cfg, t)
     spk_track = jnp.broadcast_to(spk[:, None, :], (B, T, spk.shape[-1]))
     h = jnp.concatenate([x, mu, spk_track.astype(x.dtype), cond], axis=-1)
 
-    d = params["down"]
-    h = _resnet(d["resnet"], h, mask, valid, temb)
-    for tf in d["tf"]:
-        h = _tf_block(tf, cfg, h * mask, valid)
-    skip = h
-    h = conv1d(h * mask, d["conv"]["w"], d["conv"]["b"], padding="SAME_TORCH")
+    pest = pc["est"] if pc is not None else None
+    pvalid = pc["pv"] if pc is not None else None
 
-    for m in params["mid"]:
-        h = _resnet(m["resnet"], h, mask, valid, temb)
-        for tf in m["tf"]:
-            h = _tf_block(tf, cfg, h * mask, valid)
+    def level(h, p_level, n_level, with_conv: bool, skip_in=None):
+        """One UNet level: resnet → tf blocks → (optional k3 conv)."""
+        rn_in = h if skip_in is None else jnp.concatenate([h, skip_in], axis=-1)
+        r = _resnet(p_level["resnet"], rn_in, mask, valid, temb,
+                    pc=n_level["resnet"] if n_level else None, cap=cap)
+        h, r_rn = r if cap else (r, None)
+        tf_recs = []
+        for i, tf in enumerate(p_level["tf"]):
+            r = _tf_block(tf, cfg, h * mask, valid,
+                          pc=n_level["tf"][i] if n_level else None,
+                          pvalid=pvalid, cap=cap)
+            h, r_tf = r if cap else (r, None)
+            tf_recs.append(r_tf)
+        rec = {"resnet": r_rn, "tf": tf_recs} if cap else None
+        if with_conv:
+            pre_conv = h
+            r = _conv_h(h * mask, p_level["conv"],
+                        n_level["conv"] if n_level else None, cap)
+            h, r_c = r if cap else (r, None)
+            if cap:
+                rec["conv"] = r_c
+            return h, rec, pre_conv
+        return h, rec, h
 
-    u = params["up"]
-    h = _resnet(u["resnet"], jnp.concatenate([h, skip], axis=-1), mask, valid, temb)
-    for tf in u["tf"]:
-        h = _tf_block(tf, cfg, h * mask, valid)
-    h = conv1d(h * mask, u["conv"]["w"], u["conv"]["b"], padding="SAME_TORCH")
+    d_out, rec_down, skip = level(h, params["down"],
+                                  pest["down"] if pest else None, True)
+    h = d_out
+    mid_recs = []
+    for j, m in enumerate(params["mid"]):
+        h, rec_m, _ = level(h, m, pest["mid"][j] if pest else None, False)
+        mid_recs.append(rec_m)
+    h, rec_up, _ = level(h, params["up"], pest["up"] if pest else None, True,
+                         skip_in=skip)
 
     f = params["final"]
-    h = conv1d(h * mask, f["conv"]["w"], f["conv"]["b"], padding="SAME_TORCH")
-    h = _mish(_group_norm(h, f["gn"]["w"], f["gn"]["b"], valid=valid))
-    out = conv1d(h * mask, params["proj"]["w"], params["proj"]["b"])
-    return out * mask
+    nf = pest["final"] if pest else None
+    r = _conv_h(h * mask, f["conv"], nf["conv"] if nf else None, cap)
+    h, r_fc = r if cap else (r, None)
+    r = _group_norm(h, f["gn"]["w"], f["gn"]["b"], valid=valid,
+                    extra=nf["gn"] if nf else None, cap=cap)
+    h, r_fg = r if cap else (r, None)
+    h = _mish(h)
+    out = conv1d(h * mask, params["proj"]["w"], params["proj"]["b"]) * mask
+    if cap:
+        return out, {"down": rec_down, "mid": mid_recs, "up": rec_up,
+                     "final": {"conv": r_fc, "gn": r_fg}}
+    return out
 
 
 def cfm_generate(
@@ -255,3 +379,137 @@ def cfm_generate(
     xs = (jnp.asarray(t_span[:-1]), jnp.asarray(t_span[1:] - t_span[:-1]))
     x, _ = jax.lax.scan(step, x, xs)
     return x.astype(mu.dtype)
+
+
+def _t_span(cfg: FlowRefConfig) -> np.ndarray:
+    steps = np.arange(cfg.n_timesteps + 1, dtype=np.float64) / cfg.n_timesteps
+    return (1.0 - np.cos(steps * 0.5 * np.pi)).astype(np.float32)
+
+
+def cfm_prompt_prefill(
+    params: Dict,
+    cfg: FlowRefConfig,
+    key: jax.Array,       # FIXED key (voice-stable, not per-request)
+    mu_p: jnp.ndarray,    # [B, P, M] encoder output for the prompt region
+    spk: jnp.ndarray,     # [B, 80]
+    cond_p: jnp.ndarray,  # [B, P, M] packed prompt-mel conditioning
+    valid_p: jnp.ndarray, # [B, P]
+) -> Dict:
+    """Solve the CFM over the voice-prompt region ONCE, capturing the frozen
+    prompt context every Euler step → a per-voice cache for
+    cfm_generate_cached.
+
+    The reference re-processes the ~500-frame voice-prompt window through
+    the estimator for every streamed slice (its s3gen.inference always sees
+    [prompt | accumulated tokens] — /root/reference/src/tts_streaming.py:
+    655-659, 681-688); at 10 Euler steps × 2 CFG lanes that lane-independent
+    work is the measured single-chip serving ceiling (BENCH_NOTES r3). This
+    prefill runs that work once per voice and caches, per Euler step:
+
+    * per transformer block: the prompt K/V (the DiT blocks carry no
+      positional encoding, so cross-attention needs no index bookkeeping);
+    * per k3 conv: the prompt's boundary frame (left context for the
+      generated region's first frame);
+    * per GroupNorm: the prompt region's sufficient statistics.
+
+    DELIBERATE DEVIATION (quality-measured by scripts/quality_study.py,
+    ``CHATTERBOX_CFM_PROMPT_CACHE``): prompt frames no longer see generated
+    frames — attention becomes one-way (the causal structure every streaming
+    CFM variant adopts), the prompt's right conv edge sees zeros, and the
+    prompt's GroupNorm contributions are frozen at prefill values. With an
+    empty prompt the cached path is EXACT (tests/test_cfm_prompt_cache.py).
+
+    Returns {"est": per-step capture tree (leaves [S, 2B, ...]),
+    "pv": [2B, P] prompt key mask}. Both CFG lanes are captured — the uncond
+    lane (zeroed mu/spk/cond) shares the x trajectory, as in cfm_generate."""
+    B, P, M = mu_p.shape
+    if P <= _NOISE_FRAMES:
+        x = jax.random.normal(key, (B, _NOISE_FRAMES, M), jnp.float32)[:, :P]
+    else:
+        x = jax.random.normal(key, (B, P, M), jnp.float32)
+    t_span = _t_span(cfg)
+    w = cfg.inference_cfg_rate
+
+    mu2 = jnp.concatenate([mu_p, jnp.zeros_like(mu_p)], axis=0)
+    spk2 = jnp.concatenate([spk, jnp.zeros_like(spk)], axis=0)
+    cond2 = jnp.concatenate([cond_p, jnp.zeros_like(cond_p)], axis=0)
+    valid2 = jnp.concatenate([valid_p, valid_p], axis=0)
+
+    def step(x, t_dt):
+        t_i, dt = t_dt
+        t = jnp.full((2 * B,), t_i)
+        x2 = jnp.concatenate([x, x], axis=0).astype(mu_p.dtype)
+        v, rec = estimator_forward(params, cfg, x2, mu2, spk2, cond2, t, valid2,
+                                   cap=True)
+        v = v.astype(jnp.float32)
+        vc, vu = v[:B], v[B:]
+        v = (1.0 + w) * vc - w * vu
+        return x + dt * v, rec
+
+    xs = (jnp.asarray(t_span[:-1]), jnp.asarray(t_span[1:] - t_span[:-1]))
+    _, recs = jax.lax.scan(step, x, xs)
+    return {"est": recs, "pv": valid2}
+
+
+def cfm_generate_cached(
+    params: Dict,
+    cfg: FlowRefConfig,
+    key: jax.Array,       # request/chunk noise key (generated region only)
+    mu_g: jnp.ndarray,    # [B, Tg, M] encoder output, GENERATED frames only
+    spk: jnp.ndarray,     # [B, 80]
+    valid_g: jnp.ndarray, # [B, Tg]
+    cache: Dict,          # from cfm_prompt_prefill
+) -> jnp.ndarray:
+    """Euler CFM over the generated frames only, conditioned on the frozen
+    prompt cache. The generated region's initial noise is sliced from the
+    SAME buffer positions ([P, P+Tg)) the uncached path uses, so cached and
+    uncached solves share noise exactly and the output difference is the
+    one-way-prompt deviation alone. The cache's step axis S is either
+    n_timesteps (per-step context) or 1 ("static": one context reused every
+    step — 10× smaller, a further measured deviation)."""
+    B, Tg, M = mu_g.shape
+    P = cache["pv"].shape[-1]
+    if P + Tg <= _NOISE_FRAMES:
+        x = jax.random.normal(key, (B, _NOISE_FRAMES, M), jnp.float32)[:, P:P + Tg]
+    else:
+        x = jax.random.normal(key, (B, P + Tg, M), jnp.float32)[:, P:]
+    t_span = _t_span(cfg)
+    w = cfg.inference_cfg_rate
+
+    mu2 = jnp.concatenate([mu_g, jnp.zeros_like(mu_g)], axis=0)
+    spk2 = jnp.concatenate([spk, jnp.zeros_like(spk)], axis=0)
+    cond2 = jnp.zeros((2 * B, Tg, M), mu_g.dtype)
+    valid2 = jnp.concatenate([valid_g, valid_g], axis=0)
+    pv = cache["pv"]
+    est_tree = cache["est"]
+    if pv.shape[0] != 2 * B:
+        # per-voice caches are captured at batch 1 ([cond, uncond] lanes);
+        # lane-repeat broadcasts them to this call's batch: [c,u] → [c×B, u×B]
+        assert pv.shape[0] == 2, "prompt cache lane layout must be [cond, uncond]"
+        pv = jnp.repeat(pv, B, axis=0)
+        est_tree = jax.tree.map(lambda a: jnp.repeat(a, B, axis=1), est_tree)
+
+    S = jax.tree.leaves(est_tree)[0].shape[0]
+    per_step = S == cfg.n_timesteps
+    static_est = None if per_step else jax.tree.map(lambda a: a[0], est_tree)
+
+    def step(x, scan_in):
+        if per_step:
+            t_i, dt, est = scan_in
+        else:
+            t_i, dt = scan_in
+            est = static_est
+        t = jnp.full((2 * B,), t_i)
+        x2 = jnp.concatenate([x, x], axis=0).astype(mu_g.dtype)
+        v = estimator_forward(params, cfg, x2, mu2, spk2, cond2, t, valid2,
+                              pc={"pv": pv, "est": est})
+        v = v.astype(jnp.float32)
+        vc, vu = v[:B], v[B:]
+        v = (1.0 + w) * vc - w * vu
+        return x + dt * v, None
+
+    ts = jnp.asarray(t_span[:-1])
+    dts = jnp.asarray(t_span[1:] - t_span[:-1])
+    xs = (ts, dts, est_tree) if per_step else (ts, dts)
+    x, _ = jax.lax.scan(step, x, xs)
+    return x.astype(mu_g.dtype)

@@ -24,7 +24,12 @@ import jax.numpy as jnp
 from ...ops.nn import linear
 from .campplus import campplus_embed, init_campplus_params
 from .config import S3GenRefConfig
-from .decoder import cfm_generate, init_estimator_params
+from .decoder import (
+    cfm_generate,
+    cfm_generate_cached,
+    cfm_prompt_prefill,
+    init_estimator_params,
+)
 from .features import hifigan_log_mel, kaldi_fbank, reflect_tail
 from .hift import hift_decode, init_hift_params, make_source, predict_f0
 from .tokenizer import init_s3tok_ref_params, s3tok_ref_tokenize
@@ -120,6 +125,24 @@ def _left_pack(
     return packed, mask
 
 
+def _spk_track(params: Dict, ref: Dict) -> jnp.ndarray:
+    """Normalized speaker embedding → 80-d estimator conditioning track."""
+    spk_n = ref["spk_emb"] * jax.lax.rsqrt(
+        jnp.sum(jnp.square(ref["spk_emb"].astype(jnp.float32)), -1, keepdims=True) + 1e-12
+    ).astype(ref["spk_emb"].dtype)
+    return linear(spk_n, params["flow"]["spk_affine"]["w"], params["flow"]["spk_affine"]["b"])
+
+
+def _packed_prompt_mel(cfg: S3GenRefConfig, ref: Dict, dtype) -> jnp.ndarray:
+    """Prompt-mel conditioning, left-packed (right-aligned against the
+    generated frames)."""
+    Pm = cfg.max_prompt_tokens * cfg.flow.up_stride
+    pm = ref["prompt_mel"][:, :Pm]
+    pm_len = jnp.minimum(ref["prompt_mel_len"], Pm)
+    packed_mel, _ = _left_pack(pm.astype(dtype), pm_len)
+    return packed_mel
+
+
 def _mel_and_source(
     params: Dict,
     cfg: S3GenRefConfig,
@@ -129,10 +152,16 @@ def _mel_and_source(
     source_cache: jnp.ndarray,  # [B, T*samples_per_token] excitation prefix
     cache_len: jnp.ndarray,     # [B] valid samples in source_cache
     key: jax.Array,             # request-stable key (determinism = seam continuity)
+    cfm_cache: Dict | None = None,  # from s3gen_ref_prompt_prefill
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Shared front of chunk inference: encoder → CFM mel → NSF excitation
     with the cache-override contract. → (mel_gen [B, T·fpt, 80],
-    source [B, T·spt])."""
+    source [B, T·spt]).
+
+    With ``cfm_cache`` the estimator solves only the generated frames
+    against the frozen per-voice prompt context (see cfm_prompt_prefill);
+    the encoder still sees [prompt | generated] bidirectionally (it is ~1%
+    of the estimator's FLOPs), so ``mu`` is unchanged."""
     B, T = tokens.shape
     fl = cfg.flow
     P = cfg.max_prompt_tokens
@@ -154,20 +183,21 @@ def _mel_and_source(
     h, valid_f = upsample_encode(params["flow"]["encoder"], fl, emb, valid)
     mu = linear(h, params["flow"]["encoder_proj"]["w"], params["flow"]["encoder_proj"]["b"])
 
-    spk_n = ref["spk_emb"] * jax.lax.rsqrt(
-        jnp.sum(jnp.square(ref["spk_emb"].astype(jnp.float32)), -1, keepdims=True) + 1e-12
-    ).astype(ref["spk_emb"].dtype)
-    spk = linear(spk_n, params["flow"]["spk_affine"]["w"], params["flow"]["spk_affine"]["b"])
+    spk = _spk_track(params, ref)
 
-    # prompt-mel conditioning track, right-aligned against the generated frames
-    pm = ref["prompt_mel"][:, :Pm]
-    pm_len = jnp.minimum(ref["prompt_mel_len"], Pm)
-    packed_mel, _ = _left_pack(pm.astype(mu.dtype), pm_len)
-    cond = jnp.concatenate([packed_mel, jnp.zeros((B, T * fpt, pm.shape[2]), mu.dtype)], axis=1)
-
-    mel_full = cfm_generate(params["flow"]["estimator"], fl, key, mu, spk, cond, valid_f)
-    mel_gen = mel_full[:, Pm:]                                       # [B, T·fpt, 80]
     gen_frame_valid = valid_f[:, Pm:]
+    if cfm_cache is not None:
+        mel_gen = cfm_generate_cached(
+            params["flow"]["estimator"], fl, key, mu[:, Pm:], spk,
+            gen_frame_valid, cfm_cache,
+        )
+    else:
+        packed_mel = _packed_prompt_mel(cfg, ref, mu.dtype)
+        cond = jnp.concatenate(
+            [packed_mel, jnp.zeros((B, T * fpt, packed_mel.shape[2]), mu.dtype)], axis=1
+        )
+        mel_full = cfm_generate(params["flow"]["estimator"], fl, key, mu, spk, cond, valid_f)
+        mel_gen = mel_full[:, Pm:]                                   # [B, T·fpt, 80]
     mel_gen = jnp.where(gen_frame_valid[:, :, None], mel_gen, 0.0)
 
     # HiFT excitation with continuity (reference cache_source contract)
@@ -188,13 +218,44 @@ def s3gen_ref_inference(
     source_cache: jnp.ndarray,  # [B, T*samples_per_token] excitation prefix
     cache_len: jnp.ndarray,     # [B] valid samples in source_cache
     key: jax.Array,             # request-stable key (determinism = seam continuity)
+    cfm_cache: Dict | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One streaming chunk → (wav [B, T·spt], new_source_cache [B, T·spt])."""
     mel_gen, source = _mel_and_source(
-        params, cfg, tokens, token_len, ref, source_cache, cache_len, key
+        params, cfg, tokens, token_len, ref, source_cache, cache_len, key,
+        cfm_cache=cfm_cache,
     )
     wav = hift_decode(params["mel2wav"], cfg.hift, mel_gen, source)
     return wav, source
+
+
+def s3gen_ref_prompt_prefill(
+    params: Dict,
+    cfg: S3GenRefConfig,
+    ref: Dict,       # from s3gen_ref_embed_ref (leaves [B, ...])
+    key: jax.Array,  # FIXED key: the prompt noise is voice-stable, mirroring
+                     # the reference's one fixed rand_noise buffer per model
+) -> Dict:
+    """Per-voice CFM prompt cache: run the prompt-only encoder + the
+    capturing CFM solve once (see cfm_prompt_prefill for the contract and
+    the documented one-way deviation). Cached per voice_id alongside the
+    conditioning dict; every subsequent slice of every request for this
+    voice skips the ~500-frame prompt re-encode that is the measured
+    single-chip serving ceiling (BENCH_NOTES r3)."""
+    fl = cfg.flow
+    P = cfg.max_prompt_tokens
+    packed_prompt, prompt_mask = _left_pack(
+        ref["prompt_tokens"], jnp.minimum(ref["prompt_len"], P)
+    )
+    emb = params["flow"]["input_emb"][jnp.clip(packed_prompt, 0, fl.vocab_size - 1)]
+    emb = jnp.where(prompt_mask[:, :, None], emb, 0.0)
+    h, valid_f = upsample_encode(params["flow"]["encoder"], fl, emb, prompt_mask)
+    mu_p = linear(h, params["flow"]["encoder_proj"]["w"], params["flow"]["encoder_proj"]["b"])
+    spk = _spk_track(params, ref)
+    cond_p = _packed_prompt_mel(cfg, ref, mu_p.dtype)
+    return cfm_prompt_prefill(
+        params["flow"]["estimator"], fl, key, mu_p, spk, cond_p, valid_f
+    )
 
 
 def s3gen_ref_inference_tail(
@@ -208,6 +269,7 @@ def s3gen_ref_inference_tail(
     key: jax.Array,
     start: jnp.ndarray,         # [B] first wanted output sample (0 ≤ · ≤ T·spt − tail_len)
     tail_len: int,              # static: samples returned per row
+    cfm_cache: Dict | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Chunk inference that VOCODES only a window around the emitted tail →
     (wav_tail [B, tail_len] == full wav[:, start:start+tail_len] exactly,
@@ -227,7 +289,8 @@ def s3gen_ref_inference_tail(
     fpt = cfg.flow.up_stride
     spt = cfg.samples_per_token
     mel_gen, source = _mel_and_source(
-        params, cfg, tokens, token_len, ref, source_cache, cache_len, key
+        params, cfg, tokens, token_len, ref, source_cache, cache_len, key,
+        cfm_cache=cfm_cache,
     )
     # window extents in whole tokens (spt-aligned keeps mel/source in step)
     margin_tok = -(-hift_receptive_margin(cfg.hift) // spt) + 1

@@ -45,6 +45,7 @@ from ..models.s3gen_ref import (
     s3gen_ref_embed_ref,
     s3gen_ref_inference,
     s3gen_ref_inference_tail,
+    s3gen_ref_prompt_prefill,
     s3tok_ref_tokenize,
 )
 from ..models.s3tok import S3TokConfig, init_s3tok_params, s3tok_tokenize
@@ -81,6 +82,9 @@ class Conditionals:
 
     t3_cond_lanes: jnp.ndarray  # [2, C, D]: (cond, uncond) prefix embeddings
     gen_ref: Dict               # s3gen ref dict
+    # frozen per-voice CFM prompt context (CHATTERBOX_CFM_PROMPT_CACHE;
+    # s3gen_ref_prompt_prefill) — None when the mode is off
+    cfm_cache: Optional[Dict] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -551,6 +555,7 @@ class TTSEngine:
                             jnp.zeros((1, T * spt), jnp.float32),
                             jnp.zeros((1,), jnp.int32),
                             jax.random.PRNGKey(0),
+                            conds.cfm_cache,
                         )
                         jax.block_until_ready(w)
 
@@ -570,7 +575,7 @@ class TTSEngine:
                             rB = jax.tree.map(
                                 lambda x: jnp.stack([x] * Bv, 0), conds.gen_ref
                             )
-                            tails, _ = self.s3gen_scheduler._infer_fn(T, Bv)(
+                            args = (
                                 self.params["s3gen"],
                                 jnp.zeros((Bv, 1, T), jnp.int32),
                                 jnp.full((Bv, 1), T, jnp.int32),
@@ -581,6 +586,12 @@ class TTSEngine:
                                 jnp.zeros((Bv,), jnp.int32),
                                 jnp.zeros((Bv,), jnp.int32),
                             )
+                            if conds.cfm_cache is not None:
+                                tails, _ = self.s3gen_scheduler._infer_fn(
+                                    T, Bv, cached=True
+                                )(*args, conds.cfm_cache)
+                            else:
+                                tails, _ = self.s3gen_scheduler._infer_fn(T, Bv)(*args)
                             jax.block_until_ready(tails)
 
                         try:
@@ -769,6 +780,7 @@ class TTSEngine:
             jnp.zeros((1, bucket * spt), jnp.float32),
             jnp.array([0], jnp.int32),
             jax.random.PRNGKey(0),
+            conds.cfm_cache,
         )[0].block_until_ready()
 
     # ------------------------------------------------------------- jit plumbing
@@ -782,17 +794,64 @@ class TTSEngine:
             self._jit_cache["prefill"] = jax.jit(prefill)
         return self._jit_cache["prefill"]
 
+    def _cfm_cache_mode(self) -> str:
+        """CFM prompt-cache mode: "0" (off) | "step" (per-Euler-step frozen
+        prompt context) | "static" (one context reused every step, 10×
+        smaller). Deliberate deviation (one-way prompt attention), measured
+        by scripts/quality_study.py; ref arch only."""
+        if self.cfg.s3gen_arch != "ref":
+            return "0"
+        v = os.environ.get("CHATTERBOX_CFM_PROMPT_CACHE", "0").lower()
+        if v in ("1", "step"):
+            return "step"
+        if v == "static":
+            return "static"
+        return "0"
+
+    def _jit_prompt_prefill(self):
+        """Jitted per-voice CFM prompt prefill (mode baked in: the "static"
+        reduction happens inside the graph, one dispatch per voice)."""
+        if "prompt_prefill" not in self._jit_cache:
+            refc = self.cfg.s3gen_ref
+            static = self._cfm_cache_mode() == "static"
+
+            def prefill(params, ref, key):
+                cache = s3gen_ref_prompt_prefill(params, refc, ref, key)
+                if static:
+                    cache = {
+                        "est": jax.tree.map(lambda a: a[-1:], cache["est"]),
+                        "pv": cache["pv"],
+                    }
+                return cache
+
+            self._jit_cache["prompt_prefill"] = jax.jit(prefill)
+        return self._jit_cache["prompt_prefill"]
+
+    def _build_cfm_cache(self, ref: Dict) -> Optional[Dict]:
+        """Per-voice frozen prompt context, computed once at conditioning
+        time (the prompt noise key is FIXED — voice-stable, mirroring the
+        reference's one fixed rand_noise buffer per model)."""
+        if self._cfm_cache_mode() == "0":
+            return None
+        return self._jit_prompt_prefill()(
+            self.params["s3gen"], ref, jax.random.PRNGKey(777)
+        )
+
     def _s3gen_infer_fn(self):
         """The active architecture's pure inference fn (identical signature)."""
         if self.cfg.s3gen_arch == "ref":
             cfg = self.cfg.s3gen_ref
 
-            def infer(params, tokens, token_len, ref, src, cache_len, key):
-                return s3gen_ref_inference(params, cfg, tokens, token_len, ref, src, cache_len, key)
+            def infer(params, tokens, token_len, ref, src, cache_len, key,
+                      cache=None):
+                return s3gen_ref_inference(params, cfg, tokens, token_len, ref,
+                                           src, cache_len, key, cfm_cache=cache)
         else:
             cfg = self.cfg.s3gen
 
-            def infer(params, tokens, token_len, ref, src, cache_len, key):
+            def infer(params, tokens, token_len, ref, src, cache_len, key,
+                      cache=None):
+                assert cache is None, "CFM prompt cache is a ref-arch feature"
                 return s3gen_inference(params, cfg, tokens, token_len, ref, src, cache_len, key)
 
         return infer
@@ -811,10 +870,10 @@ class TTSEngine:
         cfg = self.cfg.s3gen_ref
 
         def tail_infer(params, tokens, token_len, ref, src, cache_len, key,
-                       start, tail_len):
+                       start, tail_len, cache=None):
             return s3gen_ref_inference_tail(
                 params, cfg, tokens, token_len, ref, src, cache_len, key,
-                start, tail_len,
+                start, tail_len, cfm_cache=cache,
             )
 
         return tail_infer
@@ -915,7 +974,7 @@ class TTSEngine:
                     wav16, jnp.array([2 * S3_SR], jnp.int32), jnp.array([2 * S3_SR], jnp.int32),
                     jnp.array([get_tts_config().VOICE_EXAGGERATION_FACTOR], jnp.float32),
                 )
-                conds = Conditionals(lanes, ref)
+                conds = Conditionals(lanes, ref, self._build_cfm_cache(ref))
             self.voice_cache["default"] = conds
         return self.voice_cache["default"]
 
@@ -975,7 +1034,7 @@ class TTSEngine:
             "prompt_mel": jnp.asarray(mel),
             "prompt_mel_len": jnp.asarray([n_mel], jnp.int32),
         }
-        return Conditionals(lanes, ref)
+        return Conditionals(lanes, ref, self._build_cfm_cache(ref))
 
     def prepare_conditionals(self, wav_fpath: str) -> None:
         """Compute and cache voice conditioning from a reference wav
@@ -998,7 +1057,7 @@ class TTSEngine:
             jnp.array([get_tts_config().VOICE_EXAGGERATION_FACTOR], jnp.float32),
         )
         voice_id = Path(wav_fpath).name
-        self.voice_cache[voice_id] = Conditionals(lanes, ref)
+        self.voice_cache[voice_id] = Conditionals(lanes, ref, self._build_cfm_cache(ref))
         log.info("Prepared conditionals for voice '%s'", voice_id)
 
     def clear_voice_cache(self, voice_id: str) -> None:
@@ -1424,6 +1483,7 @@ class TTSEngine:
                         source_state, clen, chunk_key,
                         shift=shift, prev_rel=prev_rel,
                         keep_state=(overlap == "full"),
+                        cache=conds.cfm_cache,
                     )
                     t_host0 = time.perf_counter()
                     audio = tail_np[prev_rel - start_used : valid - start_used]
@@ -1451,6 +1511,7 @@ class TTSEngine:
                             jnp.array([infer_tokens.size], jnp.int32),
                             conds.gen_ref, jnp.asarray(src),
                             jnp.array([cache_len], jnp.int32), chunk_key,
+                            conds.cfm_cache,
                         )
                         return np.asarray(w[0]), np.asarray(ns[0])
 

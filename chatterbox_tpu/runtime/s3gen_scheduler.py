@@ -58,6 +58,10 @@ class _Job:
     prev_rel: int             # first NEW sample index (window-relative)
     future: asyncio.Future
     keep_state: bool = True   # caller wants the updated source row back
+    # frozen per-voice CFM prompt context (engine Conditionals.cfm_cache).
+    # Shared by every lane of a batch (vmap in_axes=None — no HBM copies),
+    # so batches only form among jobs with the SAME cache object.
+    cache: Optional[Dict] = None
 
 
 class S3GenScheduler:
@@ -154,8 +158,8 @@ class S3GenScheduler:
         log.warning("S3Gen variant (bucket=%d, batch=%d) banned; cap now %d",
                     T, B, self._batch_cap[T])
 
-    def _infer_fn(self, T: int, B: int):
-        jit_key = (T, B)
+    def _infer_fn(self, T: int, B: int, cached: bool = False):
+        jit_key = (T, B, cached)
         if jit_key not in self._jit:
             item_infer = self._infer
             tail_infer = self._tail_infer
@@ -166,21 +170,27 @@ class S3GenScheduler:
 
             @jax.jit
             def infer(params, tokens, token_len, ref, states, cache_len, keys,
-                      shifts, starts):
+                      shifts, starts, cache=None):
                 # vmap over the micro-batch with PER-REQUEST noise keys, so a
                 # request's CFM/source noise is identical whether it runs solo
-                # or co-batched (reproducibility + seam determinism).
+                # or co-batched (reproducibility + seam determinism). The CFM
+                # prompt cache is NOT vmapped: it is closed over, so XLA
+                # broadcasts one copy across lanes instead of stacking B
+                # copies in HBM (per-voice caches are ~100s of MB full-size).
                 def one(tk, tl, rf, st, cl, ky, sh, strt):
                     src = jax.lax.dynamic_slice(st, (sh,), (n,))[None]
+                    kw = {"cache": cache} if cached else {}
                     if tail_infer is not None:
                         # windowed vocoder: the model computes only the tail
                         # (exact — receptive-field margin inside the fn)
                         tail_out, new_src = tail_infer(
-                            params, tk, tl, rf, src, cl, ky, strt[None], tail
+                            params, tk, tl, rf, src, cl, ky, strt[None], tail,
+                            **kw,
                         )
                         tail_out = tail_out[0]
                     else:
-                        wav, new_src = item_infer(params, tk, tl, rf, src, cl, ky)
+                        wav, new_src = item_infer(params, tk, tl, rf, src, cl,
+                                                  ky, **kw)
                         tail_out = jax.lax.dynamic_slice(wav[0], (strt,), (tail,))
                     new_state = jnp.zeros((state_len,), jnp.float32)
                     new_state = jax.lax.dynamic_update_slice(
@@ -220,6 +230,7 @@ class S3GenScheduler:
         shift: int = 0,           # window drop in samples
         prev_rel: int = 0,        # first new sample (window-relative)
         keep_state: bool = True,  # False: caller discards the new state row
+        cache: Optional[Dict] = None,  # per-voice CFM prompt cache
     ) -> Tuple[np.ndarray, int, jax.Array]:
         """→ (audio tail [tail_len] on host, tail start offset, new device
         state row — None when ``keep_state`` is False). The caller's new
@@ -228,9 +239,13 @@ class S3GenScheduler:
         fut = asyncio.get_running_loop().create_future()
         if state is None:
             state = self.zero_state()
-        self._queues.setdefault(len(tokens), []).append(
+        # queues key on (bucket, cache identity): the prompt cache is a
+        # shared (unmapped) operand of the batched graph, so only jobs with
+        # the same cache object can coalesce
+        qkey = (len(tokens), id(cache) if cache is not None else 0)
+        self._queues.setdefault(qkey, []).append(
             _Job(tokens, token_len, ref, state, cache_len, key, shift, prev_rel,
-                 fut, keep_state)
+                 fut, keep_state, cache)
         )
         self._wake.set()
         return await fut
@@ -238,12 +253,13 @@ class S3GenScheduler:
     async def _run(self) -> None:
         spt = self.cfg.samples_per_token
         while True:
-            bucket = next((b for b, q in self._queues.items() if q), None)
-            if bucket is None:
+            qkey = next((k for k, q in self._queues.items() if q), None)
+            if qkey is None:
                 self._wake.clear()
                 await self._wake.wait()
                 continue
-            queue = self._queues[bucket]
+            bucket = qkey[0]
+            queue = self._queues[qkey]
             # power-of-two COMPILED batch sizes only ({1,2,4,8,16}), but take
             # every queued job up to the cap and PAD the batch to the next
             # compiled size (repeat the last job's inputs; padded outputs are
@@ -308,10 +324,17 @@ class S3GenScheduler:
                 starts_host = [min(max(j.prev_rel, 0), max(0, n - tail)) for j in pj]
                 starts = np.asarray(starts_host, np.int32)
                 metrics.record_stage("s3gen_stack_host", _time.perf_counter() - t0)
-                tails, new_states = self._infer_fn(T, B)(
-                    self.params, tokens, tlen, ref, states, clen, keys,
-                    shifts, starts,
-                )
+                cache = jobs[0].cache
+                if cache is not None:
+                    tails, new_states = self._infer_fn(T, B, cached=True)(
+                        self.params, tokens, tlen, ref, states, clen, keys,
+                        shifts, starts, cache,
+                    )
+                else:
+                    tails, new_states = self._infer_fn(T, B)(
+                        self.params, tokens, tlen, ref, states, clen, keys,
+                        shifts, starts,
+                    )
                 # only the tails cross the tunnel; states stay device-resident
                 return np.asarray(tails), starts_host, new_states
 
@@ -345,7 +368,7 @@ class S3GenScheduler:
                     log.warning("S3Gen batch (bucket=%d, batch=%d) failed "
                                 "(%s); retrying smaller", bucket, B, exc)
                     self.ban_batch(bucket, B)
-                    self._queues[bucket][:0] = jobs
+                    self._queues[qkey][:0] = jobs
                     continue
                 log.exception("S3Gen batch failed")
                 for job in jobs:

@@ -54,6 +54,15 @@ VARIANTS = [
     ("slice70_cfm8", {"STUDY_SLICE": "70", "CHATTERBOX_CFM_STEPS": "8"}),
     ("slice70_cfm8_window140", {"STUDY_SLICE": "70", "CHATTERBOX_CFM_STEPS": "8",
                                 "CHATTERBOX_OVERLAP_WINDOW_TOKENS": "140"}),
+    # lever 4 (BENCH_NOTES Run C): frozen per-voice CFM prompt context —
+    # the estimator solves only the generated frames per slice. "step"
+    # caches per Euler step; "static" reuses one context (10× smaller).
+    ("prompt_cache_step", {"CHATTERBOX_CFM_PROMPT_CACHE": "step"}),
+    ("prompt_cache_static", {"CHATTERBOX_CFM_PROMPT_CACHE": "static"}),
+    ("pcache_step_slice70", {"CHATTERBOX_CFM_PROMPT_CACHE": "step",
+                             "STUDY_SLICE": "70"}),
+    ("pcache_step_cfm8", {"CHATTERBOX_CFM_PROMPT_CACHE": "step",
+                          "CHATTERBOX_CFM_STEPS": "8"}),
 ]
 
 # Tiny-model harness check (production values never bind on the 64-token
@@ -67,6 +76,7 @@ TINY_VARIANTS = [
     ("flow_prompt_4", {"CHATTERBOX_FLOW_PROMPT_TOKENS": "4"}),
     ("kv_int8", {"KV_CACHE_DTYPE": "int8"}),  # engine-built tiny cfg honors
                                               # the settings-level override
+    ("prompt_cache_step", {"CHATTERBOX_CFM_PROMPT_CACHE": "step"}),
 ]
 
 _SYNTH_CODE = r"""

@@ -175,7 +175,7 @@ def test_batch_failure_retries_smaller(setup):
     async def run():
         sched = S3GenScheduler(params, CFG, max_batch=4, state_tokens=STATE_TOKENS)
         # poison the batch-4 variant with a stub that always raises
-        sched._jit[(4, 4)] = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("synthetic OOM"))
+        sched._jit[(4, 4, False)] = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("synthetic OOM"))
         try:
             outs = await asyncio.gather(*[
                 sched.synthesize(
