@@ -117,7 +117,10 @@ def _conv_h(x: jnp.ndarray, p: Dict, pc: jnp.ndarray | None = None,
     else:
         out = conv1d(x, w, b, padding="SAME_TORCH")
     if cap:
-        return out, x[:, x.shape[1] - hw:]
+        # store in the weights' dtype: activations ride an f32 chain, but the
+        # frozen context is read every slice — bf16 halves the per-voice
+        # cache (~1.1 GB full-size) and its per-step HBM traffic
+        return out, x[:, x.shape[1] - hw:].astype(w.dtype)
     return out
 
 
@@ -256,7 +259,9 @@ def _tf_block(p: Dict, cfg: FlowRefConfig, x: jnp.ndarray, valid: jnp.ndarray,
     h = linear(jax.nn.gelu(linear(h, p["ff1"]["w"], p["ff1"]["b"])), p["ff2"]["w"], p["ff2"]["b"])
     out = x + h
     if cap:
-        return out, {"k": k, "v": v}
+        # frozen-context K/V stored in the weights' dtype (see _conv_h note)
+        wdt = p["to_k"]["w"].dtype
+        return out, {"k": k.astype(wdt), "v": v.astype(wdt)}
     return out
 
 

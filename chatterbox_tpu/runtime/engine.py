@@ -78,13 +78,16 @@ class InitializationState(Enum):
 @dataclasses.dataclass
 class Conditionals:
     """Voice conditioning: T3 lanes + S3Gen ref dict (HBM-resident, cached
-    per voice_id — reference Conditionals, tts_streaming.py:106-118)."""
+    per voice_id — reference Conditionals, tts_streaming.py:106-118).
+
+    The CFM prompt context (CHATTERBOX_CFM_PROMPT_CACHE) is deliberately NOT
+    stored here: at ~1.1 GB per voice (full size, bf16) it rides a separate
+    LRU keyed by voice_id (engine._cfm_cache_for) built lazily at first
+    request — warm_up_voices prepares EVERY stored voice, which would OOM
+    HBM if each carried a context."""
 
     t3_cond_lanes: jnp.ndarray  # [2, C, D]: (cond, uncond) prefix embeddings
     gen_ref: Dict               # s3gen ref dict
-    # frozen per-voice CFM prompt context (CHATTERBOX_CFM_PROMPT_CACHE;
-    # s3gen_ref_prompt_prefill) — None when the mode is off
-    cfm_cache: Optional[Dict] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -324,6 +327,10 @@ class TTSEngine:
             os.environ.get("CHATTERBOX_OVERLAP_WINDOW_TOKENS", "0") or 0
         )
         self._jit_cache: Dict = {}
+        # voice_id → frozen CFM prompt context, LRU-bounded (_cfm_cache_for)
+        from collections import OrderedDict
+
+        self._cfm_cache_lru: "OrderedDict[str, Dict]" = OrderedDict()
         self.decoder = None  # BatchedT3Decoder when MAX_DECODE_SLOTS > 1
         self.s3gen_scheduler = None  # S3GenScheduler (micro-batching), same gate
         # per-request fatal pipeline errors, surfaced to the HTTP layer
@@ -345,6 +352,7 @@ class TTSEngine:
             self.s3gen_scheduler = None
         self.params = None
         self.voice_cache.clear()
+        self._cfm_cache_lru.clear()
         self._jit_cache.clear()
 
     async def ainit(self) -> None:
@@ -527,6 +535,9 @@ class TTSEngine:
         try:
             plan = self._precompile_plan()
             conds = self.voice_cache["default"]
+            cfm_cache = await asyncio.to_thread(
+                self._cfm_cache_for, "default", conds
+            )
             params_shapes = shape_of(self.params)
             batched_by_T: Dict[int, list] = {}
             for T, Bv in plan["s3gen_batched"]:
@@ -555,7 +566,7 @@ class TTSEngine:
                             jnp.zeros((1, T * spt), jnp.float32),
                             jnp.zeros((1,), jnp.int32),
                             jax.random.PRNGKey(0),
-                            conds.cfm_cache,
+                            cfm_cache,
                         )
                         jax.block_until_ready(w)
 
@@ -586,10 +597,10 @@ class TTSEngine:
                                 jnp.zeros((Bv,), jnp.int32),
                                 jnp.zeros((Bv,), jnp.int32),
                             )
-                            if conds.cfm_cache is not None:
+                            if cfm_cache is not None:
                                 tails, _ = self.s3gen_scheduler._infer_fn(
                                     T, Bv, cached=True
-                                )(*args, conds.cfm_cache)
+                                )(*args, cfm_cache)
                             else:
                                 tails, _ = self.s3gen_scheduler._infer_fn(T, Bv)(*args)
                             jax.block_until_ready(tails)
@@ -780,7 +791,7 @@ class TTSEngine:
             jnp.zeros((1, bucket * spt), jnp.float32),
             jnp.array([0], jnp.int32),
             jax.random.PRNGKey(0),
-            conds.cfm_cache,
+            self._cfm_cache_for("default", conds),
         )[0].block_until_ready()
 
     # ------------------------------------------------------------- jit plumbing
@@ -827,15 +838,27 @@ class TTSEngine:
             self._jit_cache["prompt_prefill"] = jax.jit(prefill)
         return self._jit_cache["prompt_prefill"]
 
-    def _build_cfm_cache(self, ref: Dict) -> Optional[Dict]:
-        """Per-voice frozen prompt context, computed once at conditioning
-        time (the prompt noise key is FIXED — voice-stable, mirroring the
-        reference's one fixed rand_noise buffer per model)."""
+    def _cfm_cache_for(self, voice_id: str, conds: Conditionals) -> Optional[Dict]:
+        """Per-voice frozen prompt context, built lazily at first request and
+        LRU-bounded (CHATTERBOX_CFM_CACHE_VOICES, default 4 — each context is
+        ~1.1 GB full-size bf16 in "step" mode). The prompt noise key is FIXED
+        — voice-stable, mirroring the reference's one fixed rand_noise buffer
+        per model — so the context is reusable across requests and chunks."""
         if self._cfm_cache_mode() == "0":
             return None
-        return self._jit_prompt_prefill()(
-            self.params["s3gen"], ref, jax.random.PRNGKey(777)
+        hit = self._cfm_cache_lru.pop(voice_id, None)
+        if hit is not None:
+            self._cfm_cache_lru[voice_id] = hit  # move to MRU
+            return hit
+        cache = self._jit_prompt_prefill()(
+            self.params["s3gen"], conds.gen_ref, jax.random.PRNGKey(777)
         )
+        cap = max(1, int(os.environ.get("CHATTERBOX_CFM_CACHE_VOICES", "4")))
+        while len(self._cfm_cache_lru) >= cap:
+            evicted, _ = self._cfm_cache_lru.popitem(last=False)
+            log.info("CFM prompt cache: evicted voice '%s' (cap %d)", evicted, cap)
+        self._cfm_cache_lru[voice_id] = cache
+        return cache
 
     def _s3gen_infer_fn(self):
         """The active architecture's pure inference fn (identical signature)."""
@@ -974,7 +997,7 @@ class TTSEngine:
                     wav16, jnp.array([2 * S3_SR], jnp.int32), jnp.array([2 * S3_SR], jnp.int32),
                     jnp.array([get_tts_config().VOICE_EXAGGERATION_FACTOR], jnp.float32),
                 )
-                conds = Conditionals(lanes, ref, self._build_cfm_cache(ref))
+                conds = Conditionals(lanes, ref)
             self.voice_cache["default"] = conds
         return self.voice_cache["default"]
 
@@ -1034,7 +1057,7 @@ class TTSEngine:
             "prompt_mel": jnp.asarray(mel),
             "prompt_mel_len": jnp.asarray([n_mel], jnp.int32),
         }
-        return Conditionals(lanes, ref, self._build_cfm_cache(ref))
+        return Conditionals(lanes, ref)
 
     def prepare_conditionals(self, wav_fpath: str) -> None:
         """Compute and cache voice conditioning from a reference wav
@@ -1057,10 +1080,11 @@ class TTSEngine:
             jnp.array([get_tts_config().VOICE_EXAGGERATION_FACTOR], jnp.float32),
         )
         voice_id = Path(wav_fpath).name
-        self.voice_cache[voice_id] = Conditionals(lanes, ref, self._build_cfm_cache(ref))
+        self.voice_cache[voice_id] = Conditionals(lanes, ref)
         log.info("Prepared conditionals for voice '%s'", voice_id)
 
     def clear_voice_cache(self, voice_id: str) -> None:
+        self._cfm_cache_lru.pop(voice_id, None)
         if voice_id in self.voice_cache:
             del self.voice_cache[voice_id]
             log.info("Removed voice '%s' from cache.", voice_id)
@@ -1103,6 +1127,11 @@ class TTSEngine:
             first_chunk = True
 
             conds = await self._get_conds(voice_id, request_id)
+            cfm_cache = None
+            if self._cfm_cache_mode() != "0":
+                cfm_cache = await asyncio.to_thread(
+                    self._cfm_cache_for, voice_id or "default", conds
+                )
             text_chunks = await asyncio.to_thread(
                 split_text_into_chunks, text, text_processing_chunk_size
             )
@@ -1126,7 +1155,7 @@ class TTSEngine:
                     token_q, pcm_q, conds, chunk_overlap_strategy, slice_size,
                     crossfade_duration_milliseconds, remove_leading_milliseconds,
                     remove_trailing_milliseconds, len(text_chunks), request_id,
-                    cancellation_token,
+                    cancellation_token, cfm_cache,
                 )
             )
 
@@ -1379,6 +1408,7 @@ class TTSEngine:
         n_chunks: int,
         request_id: str,
         token: CancellationToken,
+        cfm_cache: Optional[Dict] = None,
     ) -> None:
         s3p = self.params["s3gen"]
         s3c = self.gen_cfg
@@ -1483,7 +1513,7 @@ class TTSEngine:
                         source_state, clen, chunk_key,
                         shift=shift, prev_rel=prev_rel,
                         keep_state=(overlap == "full"),
-                        cache=conds.cfm_cache,
+                        cache=cfm_cache,
                     )
                     t_host0 = time.perf_counter()
                     audio = tail_np[prev_rel - start_used : valid - start_used]
@@ -1511,7 +1541,7 @@ class TTSEngine:
                             jnp.array([infer_tokens.size], jnp.int32),
                             conds.gen_ref, jnp.asarray(src),
                             jnp.array([cache_len], jnp.int32), chunk_key,
-                            conds.cfm_cache,
+                            cfm_cache,
                         )
                         return np.asarray(w[0]), np.asarray(ns[0])
 

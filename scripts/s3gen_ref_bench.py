@@ -109,5 +109,71 @@ def main():
               f"(full-overlap slice at acc={T} tokens)")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and os.environ.get("BENCH_CACHED") != "1":
     main()
+
+# appended: cached-vs-uncached chunk comparison (CFM prompt cache)
+def main_cached():
+    """BENCH_CACHED=1: time the full chunk graph with and without the frozen
+    prompt context (s3gen_ref_prompt_prefill / CHATTERBOX_CFM_PROMPT_CACHE),
+    plus the one-time prefill cost, at production shapes."""
+    import dataclasses
+    dtype = jnp.bfloat16
+    T = int(os.environ.get("BENCH_T", "70"))
+    P = int(os.environ.get("BENCH_PROMPT", "250"))
+    B = int(os.environ.get("BENCH_B", "1"))
+    cfg = S3GenRefConfig()
+    if P != cfg.max_prompt_tokens:
+        cfg = dataclasses.replace(cfg, max_prompt_tokens=P, max_prompt_mel=2 * P)
+    from chatterbox_tpu.models.s3gen_ref import (
+        s3gen_ref_inference, s3gen_ref_prompt_prefill,
+    )
+    params = jax.device_put(init_s3gen_ref_params(jax.random.PRNGKey(0), cfg, dtype))
+    spt = cfg.samples_per_token
+    ref = {
+        "spk_emb": jnp.zeros((1, cfg.spk_dim), dtype),
+        "prompt_tokens": jnp.ones((1, P), jnp.int32),
+        "prompt_len": jnp.array([P], jnp.int32),
+        "prompt_mel": jnp.zeros((1, 2 * P, cfg.n_mels), jnp.float32),
+        "prompt_mel_len": jnp.array([2 * P], jnp.int32),
+    }
+    print(f"P={P} T={T} B={B} (vmapped lanes share one cache)")
+
+    prefill = jax.jit(lambda p, r, k: s3gen_ref_prompt_prefill(p, cfg, r, k))
+    cache, t_pre = timed("prompt prefill (1x/voice)", prefill, params,
+                         ref, jax.random.PRNGKey(777))
+    sz = sum(a.size * a.dtype.itemsize for a in jax.tree.leaves(cache)) / 1e6
+    print(f"{'cache size':28s} {sz:8.1f} MB")
+
+    tokens = jnp.zeros((B, 1, T), jnp.int32)
+    tlen = jnp.full((B, 1), T, jnp.int32)
+    refB = jax.tree.map(lambda x: jnp.stack([x] * B), ref)
+    src = jnp.zeros((B, 1, T * spt), jnp.float32)
+    clen = jnp.zeros((B, 1), jnp.int32)
+    keys = jnp.stack([jax.random.PRNGKey(i) for i in range(B)])
+
+    def chunk(p, tk, tl, rf, sr, cl, ky, cache):
+        def one(tk, tl, rf, sr, cl, ky):
+            return s3gen_ref_inference(p, cfg, tk, tl, rf, sr, cl, ky,
+                                       cfm_cache=cache)
+        return jax.vmap(one)(tk, tl, rf, sr, cl, ky)
+
+    cached_j = jax.jit(lambda p, tk, tl, rf, sr, cl, ky, c:
+                       chunk(p, tk, tl, rf, sr, cl, ky, c))
+    un_j = jax.jit(lambda p, tk, tl, rf, sr, cl, ky:
+                   chunk(p, tk, tl, rf, sr, cl, ky, None))
+    _, t_u = timed("chunk UNCACHED", un_j, params, tokens, tlen, refB, src,
+                   clen, keys)
+    _, t_c = timed("chunk CACHED", cached_j, params, tokens, tlen, refB, src,
+                   clen, keys, cache)
+    static = {"est": jax.tree.map(lambda a: a[-1:], cache["est"]), "pv": cache["pv"]}
+    _, t_s = timed("chunk CACHED static", cached_j, params, tokens, tlen, refB,
+                   src, clen, keys, static)
+    print(f"speedup: step {t_u/t_c:.2f}x  static {t_u/t_s:.2f}x  "
+          f"(prefill amortizes over slices: breakeven after "
+          f"{t_pre/max(t_u-t_c,1e-9):.1f} slices)")
+
+
+if __name__ == "__main__" and os.environ.get("BENCH_CACHED") == "1":
+    main_cached()
+    sys.exit(0)

@@ -231,7 +231,8 @@ def test_engine_streams_with_prompt_cache(tmp_path, monkeypatch):
     try:
         eng = TTSEngine(EngineConfig.tiny_ref(), seed=3)
         asyncio.run(eng.ainit())
-        assert eng.voice_cache["default"].cfm_cache is not None
+        # warmup built the default voice's frozen context into the LRU
+        assert "default" in eng._cfm_cache_lru
 
         async def run():
             out = b""
