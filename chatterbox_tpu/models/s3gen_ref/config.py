@@ -92,6 +92,16 @@ class FlowRefConfig:
     n_timesteps: int = 10
     inference_cfg_rate: float = 0.7
     sigma_min: float = 1e-6
+    # Keep encoder/estimator activations in the weights' dtype instead of
+    # the f32 the reference computes in (CUDA fp32 — matcha/cosyvoice run
+    # unhalved). Deliberate TPU deviation (CHATTERBOX_FLOW_BF16=1, measured
+    # by scripts/quality_study.py): with bf16 weights the flow's matmuls
+    # then run at the MXU's native bf16 rate and HBM traffic halves.
+    # Attention scores, softmax statistics, GroupNorm statistics and the
+    # Euler integration state stay f32 regardless (ops/nn.py mixed-precision
+    # contract), and the HiFT vocoder input is pinned to f32 at the mel
+    # handoff (model.py _mel_and_source).
+    bf16_activations: bool = False
 
     @staticmethod
     def tiny() -> "FlowRefConfig":

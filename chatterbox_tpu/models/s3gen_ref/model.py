@@ -199,6 +199,11 @@ def _mel_and_source(
         mel_full = cfm_generate(params["flow"]["estimator"], fl, key, mu, spk, cond, valid_f)
         mel_gen = mel_full[:, Pm:]                                   # [B, T·fpt, 80]
     mel_gen = jnp.where(gen_frame_valid[:, :, None], mel_gen, 0.0)
+    # Pin the mel→wav stack to f32 regardless of the flow's activation dtype
+    # (no-op when the flow computed in f32): with CHATTERBOX_FLOW_BF16 the
+    # bf16 deviation is scoped to the encoder/CFM — the NSF source phase
+    # accumulation and ISTFT phase math stay full-precision.
+    mel_gen = mel_gen.astype(jnp.float32)
 
     # HiFT excitation with continuity (reference cache_source contract)
     f0 = predict_f0(params["mel2wav"], cfg.hift, mel_gen)            # [B, T·fpt]

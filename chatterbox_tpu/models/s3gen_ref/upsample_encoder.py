@@ -142,10 +142,18 @@ def _conformer_stack(
     return x
 
 
-def _embed(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
-    """LinearNoSubsampling + the rel-pos encoder's ×√D input scale."""
+def _embed(p: Dict, x: jnp.ndarray, keep_dtype: bool = False) -> jnp.ndarray:
+    """LinearNoSubsampling + the rel-pos encoder's ×√D input scale.
+
+    The f32 scale constant is the site that promotes the whole downstream
+    flow chain to f32 when weights are bf16 (linear/layer_norm follow their
+    input's dtype). ``keep_dtype`` (cfg.bf16_activations) applies the scale
+    in the chain's own dtype instead — the bf16-flow serving lever."""
     h = layer_norm(linear(x, p["lin"]["w"], p["lin"]["b"]), p["ln"]["w"], p["ln"]["b"])
-    return h * np.sqrt(h.shape[-1]).astype(np.float32)
+    scale = np.sqrt(h.shape[-1])
+    if keep_dtype:
+        return h * jnp.asarray(scale, h.dtype)
+    return h * scale.astype(np.float32)
 
 
 def upsample_encode(
@@ -155,7 +163,9 @@ def upsample_encode(
     valid: jnp.ndarray,   # [B, T] bool
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """→ ([B, T*up_stride, E], upsampled valid mask)."""
-    x = jnp.where(valid[:, :, None], _embed(params["embed"], x), 0.0)
+    x = jnp.where(
+        valid[:, :, None], _embed(params["embed"], x, cfg.bf16_activations), 0.0
+    )
 
     # pre-lookahead: conv1 sees `pre_lookahead_len` future frames, conv2 causal
     la = params["lookahead"]
@@ -176,7 +186,9 @@ def upsample_encode(
     up = conv1d(up, params["up_conv"]["w"], params["up_conv"]["b"], padding="VALID")
     valid_up = jnp.repeat(valid, s, axis=1)
 
-    up = jnp.where(valid_up[:, :, None], _embed(params["up_embed"], up), 0.0)
+    up = jnp.where(
+        valid_up[:, :, None], _embed(params["up_embed"], up, cfg.bf16_activations), 0.0
+    )
     up = _conformer_stack(params["up_blocks"], cfg, up, valid_up)
     up = layer_norm(up, params["after_norm"]["w"], params["after_norm"]["b"])
     return up, valid_up

@@ -156,6 +156,14 @@ class EngineConfig:
             ref_cfg = dataclasses.replace(
                 ref_cfg, flow=dataclasses.replace(ref_cfg.flow, n_timesteps=steps)
             )
+        # CHATTERBOX_FLOW_BF16=1 keeps encoder/CFM activations in the
+        # weights' dtype (bf16 full-size) instead of the accidental-f32
+        # chain; see FlowRefConfig.bf16_activations for the precision
+        # contract. HiFT stays f32 (model.py pins the mel handoff).
+        if os.environ.get("CHATTERBOX_FLOW_BF16", "0") == "1":
+            ref_cfg = dataclasses.replace(
+                ref_cfg, flow=dataclasses.replace(ref_cfg.flow, bf16_activations=True)
+            )
         return ref_cfg
 
     @staticmethod

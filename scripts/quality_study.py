@@ -63,6 +63,12 @@ VARIANTS = [
                              "STUDY_SLICE": "70"}),
     ("pcache_step_cfm8", {"CHATTERBOX_CFM_PROMPT_CACHE": "step",
                           "CHATTERBOX_CFM_STEPS": "8"}),
+    # bf16 flow activations (FlowRefConfig.bf16_activations): encoder + CFM
+    # compute in the weights' dtype; HiFT stays f32. tests/test_flow_bf16.py
+    # holds the tiny-scale exactness/closeness gates.
+    ("flow_bf16", {"CHATTERBOX_FLOW_BF16": "1"}),
+    ("pcache_step_bf16", {"CHATTERBOX_CFM_PROMPT_CACHE": "step",
+                          "CHATTERBOX_FLOW_BF16": "1"}),
 ]
 
 # Tiny-model harness check (production values never bind on the 64-token
@@ -117,12 +123,19 @@ def main() -> None:
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--text", default=TEXT)
     ap.add_argument("--out", default=None, help="write the JSON report here too")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated variant names to run (default is "
+                         "always included as the comparison baseline)")
     args = ap.parse_args()
 
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     tmp = tempfile.mkdtemp(prefix="quality_study_")
+    variants = TINY_VARIANTS if args.tiny else VARIANTS
+    if args.only:
+        keep = {v.strip() for v in args.only.split(",")} | {"default"}
+        variants = [v for v in variants if v[0] in keep]
     wavs = {}
-    for name, env_extra in (TINY_VARIANTS if args.tiny else VARIANTS):
+    for name, env_extra in variants:
         out_wav = os.path.join(tmp, f"{name}.wav")
         env = dict(os.environ)
         env.update(env_extra)
@@ -164,6 +177,20 @@ def main() -> None:
         }
     print(json.dumps(report, indent=1))
     if args.out:
+        # incremental runs (--only) merge into an existing report: variants
+        # accumulate as long as the comparison baseline is unchanged
+        if os.path.exists(args.out):
+            try:
+                with open(args.out) as f:
+                    prev = json.load(f)
+                if (prev.get("text_chars") == report["text_chars"]
+                        and prev.get("tiny") == report["tiny"]
+                        and prev.get("default_audio_s") == report["default_audio_s"]):
+                    merged = dict(prev["variants"])
+                    merged.update(report["variants"])
+                    report["variants"] = merged
+            except (OSError, ValueError, KeyError):
+                pass
         with open(args.out, "w") as f:
             json.dump(report, f, indent=1)
 

@@ -46,6 +46,9 @@ def main():
     cfg = S3GenRefConfig()
     if P != cfg.max_prompt_tokens:
         cfg = dataclasses.replace(cfg, max_prompt_tokens=P, max_prompt_mel=2 * P)
+    if os.environ.get("CHATTERBOX_FLOW_BF16", "0") == "1":
+        cfg = dataclasses.replace(
+            cfg, flow=dataclasses.replace(cfg.flow, bf16_activations=True))
     fl, hf = cfg.flow, cfg.hift
     params = jax.device_put(init_s3gen_ref_params(jax.random.PRNGKey(0), cfg, dtype))
     fp = params["flow"]
@@ -125,6 +128,9 @@ def main_cached():
     cfg = S3GenRefConfig()
     if P != cfg.max_prompt_tokens:
         cfg = dataclasses.replace(cfg, max_prompt_tokens=P, max_prompt_mel=2 * P)
+    if os.environ.get("CHATTERBOX_FLOW_BF16", "0") == "1":
+        cfg = dataclasses.replace(
+            cfg, flow=dataclasses.replace(cfg.flow, bf16_activations=True))
     from chatterbox_tpu.models.s3gen_ref import (
         s3gen_ref_inference, s3gen_ref_prompt_prefill,
     )
