@@ -814,13 +814,17 @@ class TTSEngine:
         return self._jit_cache["prefill"]
 
     def _cfm_cache_mode(self) -> str:
-        """CFM prompt-cache mode: "0" (off) | "step" (per-Euler-step frozen
-        prompt context) | "static" (one context reused every step, 10×
-        smaller). Deliberate deviation (one-way prompt attention), measured
-        by scripts/quality_study.py; ref arch only."""
+        """CFM prompt-cache mode: "step" (per-Euler-step frozen prompt
+        context — the DEFAULT) | "static" (one context reused every step,
+        10× smaller) | "0" (off: the reference's full re-encode,
+        /root/reference/src/tts_streaming.py:655-659). Deliberate deviation
+        (one-way prompt attention): exactness mechanisms unit-tested in
+        tests/test_cfm_prompt_cache.py, full-size divergence measured at the
+        sampling-noise floor by scripts/quality_study.py (BENCH_NOTES Run E),
+        5.9–8.9× per-call speedup (Run D). Ref arch only."""
         if self.cfg.s3gen_arch != "ref":
             return "0"
-        v = os.environ.get("CHATTERBOX_CFM_PROMPT_CACHE", "0").lower()
+        v = os.environ.get("CHATTERBOX_CFM_PROMPT_CACHE", "step").lower()
         if v in ("1", "step"):
             return "step"
         if v == "static":

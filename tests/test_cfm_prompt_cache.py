@@ -213,6 +213,26 @@ def test_group_norm_stats_merge_matches_joint():
                                atol=1e-5, rtol=1e-4)
 
 
+def test_prompt_cache_default_is_step(monkeypatch):
+    """The shipping default is the frozen per-voice prompt context ("step"):
+    a documented deviation from the reference's per-slice full re-encode
+    (/root/reference/src/tts_streaming.py:655-659), quality-measured at the
+    sampling-noise floor (BENCH_NOTES Run E) for a measured 5.9-8.9x
+    per-call speedup (Run D). CHATTERBOX_CFM_PROMPT_CACHE=0 reverts."""
+    from chatterbox_tpu.runtime import EngineConfig, TTSEngine
+
+    monkeypatch.delenv("CHATTERBOX_CFM_PROMPT_CACHE", raising=False)
+    eng = TTSEngine.__new__(TTSEngine)
+    eng.cfg = EngineConfig.tiny_ref()
+    assert eng._cfm_cache_mode() == "step"
+    monkeypatch.setenv("CHATTERBOX_CFM_PROMPT_CACHE", "0")
+    assert eng._cfm_cache_mode() == "0"
+    # the DiT arch has no ref-style prompt region: always off
+    eng.cfg = EngineConfig.tiny()
+    monkeypatch.delenv("CHATTERBOX_CFM_PROMPT_CACHE", raising=False)
+    assert eng._cfm_cache_mode() == "0"
+
+
 def test_engine_streams_with_prompt_cache(tmp_path, monkeypatch):
     """CHATTERBOX_CFM_PROMPT_CACHE=step: voice prep builds the per-voice
     cache, the scheduler coalesces cached jobs, and streaming produces
