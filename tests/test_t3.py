@@ -189,3 +189,57 @@ def test_paired_cache_layout_matches_seq(params):
     # grid-bounded view (any bucket covering the filled prefix) is equivalent
     depth = CFG.cond_len + 4 + 1 + CFG.max_speech_tokens
     np.testing.assert_array_equal(run(cfg_p, s_view=min(depth, 64)), want)
+
+
+def test_top_p_bisection_matches_sort_reference():
+    """_top_p_filter (sort-free bisection) must reproduce the sort-based
+    nucleus semantics (minimal descending-probability prefix reaching top_p,
+    plus ties of the crossing logit) away from the ~1e-9 bisection boundary."""
+    from chatterbox_tpu.models.t3.model import NEG_INF, _top_p_filter
+
+    def sort_reference(filtered, top_p):
+        sorted_logits = jnp.sort(filtered, axis=-1)[:, ::-1]
+        sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum_before = jnp.cumsum(sorted_probs, axis=-1) - sorted_probs
+        keep = cum_before < top_p[:, None]
+        thresh = jnp.min(
+            jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True
+        )
+        return jnp.where(filtered >= thresh, filtered, NEG_INF)
+
+    rs = np.random.RandomState(11)
+    for trial, (B, V) in enumerate([(4, 97), (3, 1024), (2, 8194)]):
+        logits = jnp.asarray(rs.randn(B, V) * 3.0, jnp.float32)
+        # mask a band of tokens like _invalid_token_mask does
+        logits = logits.at[:, V // 2 : V // 2 + 5].set(NEG_INF)
+        for p in (0.05, 0.5, 0.9, 0.95, 0.999):
+            top_p = jnp.full((B,), p, jnp.float32)
+            got = np.asarray(_top_p_filter(logits, top_p))
+            want = np.asarray(sort_reference(logits, top_p))
+            np.testing.assert_array_equal(
+                got > NEG_INF / 2, want > NEG_INF / 2,
+                err_msg=f"keep-mask mismatch B={B} V={V} p={p}",
+            )
+            kept = got > NEG_INF / 2
+            np.testing.assert_array_equal(
+                np.where(kept, got, 0.0), np.where(kept, want, 0.0)
+            )
+
+
+def test_top_p_filter_edge_cases():
+    """top_p -> 1 keeps every finite logit; top_p -> 0 degrades to the
+    argmax (never an all -inf row); ties at the boundary are all kept."""
+    from chatterbox_tpu.models.t3.model import NEG_INF, _top_p_filter
+
+    logits = jnp.asarray([[1.0, 0.5, 0.5, -2.0, NEG_INF]], jnp.float32)
+    all_kept = np.asarray(_top_p_filter(logits, jnp.array([1.0]))) > NEG_INF / 2
+    np.testing.assert_array_equal(all_kept, [[True, True, True, True, False]])
+
+    greedy = np.asarray(_top_p_filter(logits, jnp.array([1e-9]))) > NEG_INF / 2
+    np.testing.assert_array_equal(greedy, [[True, False, False, False, False]])
+
+    # the crossing logit's ties: p just above P(top1) must keep BOTH 0.5s
+    e = np.exp([1.0, 0.5, 0.5, -2.0])
+    p_cross = (e[0] + 0.5 * e[1]) / e.sum()
+    ties = np.asarray(_top_p_filter(logits, jnp.array([p_cross]))) > NEG_INF / 2
+    np.testing.assert_array_equal(ties, [[True, True, True, False, False]])
