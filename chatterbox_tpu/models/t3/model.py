@@ -41,7 +41,11 @@ from ...ops.nn import (
     rope_frequencies,
     swiglu,
 )
-from ...ops.sampling import apply_repetition_penalty, sample_token  # noqa: F401 (re-exported ops)
+from ...ops.sampling import (  # noqa: F401 (re-exported ops)
+    apply_repetition_penalty,
+    sample_token,
+    top_p_filter,
+)
 from .config import T3Config
 
 Params = Dict
@@ -547,41 +551,6 @@ def _invalid_token_mask(cfg: T3Config) -> jnp.ndarray:
     return jnp.where(allowed, 0.0, NEG_INF)
 
 
-def _top_p_filter(filtered: jnp.ndarray, top_p: jnp.ndarray) -> jnp.ndarray:
-    """Nucleus (top-p) filter without a full-vocab sort.
-
-    The sort-based filter — keep the minimal descending-probability prefix
-    whose mass reaches top_p, plus all ties of the crossing logit (reference
-    semantics: HF top_p warper consumed by inference_stream,
-    /root/reference/src/tts_streaming.py:483-491) — is equivalent to
-    thresholding at t* = max{t : mass{q_i >= t} >= top_p}: the crossing
-    value IS that maximal threshold. t* is found by bisection on the
-    unnormalized softmax masses: 30 fused compare+reduce passes over [B, V]
-    instead of XLA's O(log^2 V) sorting-network passes (the sort dominated
-    the decode step's sampling tail at V=8194 — BENCH_NOTES r4). Exact up to
-    the bisection width (~max_prob * 2^-30): a token flips membership only
-    if its probability sits within ~1e-9 of the nucleus boundary.
-    """
-    e = jnp.exp(filtered - jnp.max(filtered, axis=-1, keepdims=True))  # [B,V]
-    e_max = jnp.max(e, axis=-1)  # == 1.0 wherever any logit is finite
-    target = top_p * jnp.sum(e, axis=-1)  # [B]
-
-    def body(_, lohi):
-        lo, hi = lohi
-        mid = 0.5 * (lo + hi)
-        mass = jnp.sum(jnp.where(e >= mid[:, None], e, 0.0), axis=-1)
-        ge = mass >= target  # mid still keeps enough mass -> raise lo
-        return jnp.where(ge, mid, lo), jnp.where(ge, hi, mid)
-
-    lo, _ = jax.lax.fori_loop(
-        0, 30, body, (jnp.zeros_like(target), e_max * 1.000001 + 1e-30)
-    )
-    # always keep the argmax (and its ties): degrades gracefully to greedy
-    # as top_p -> 0 instead of producing an all -inf row
-    keep = (e >= lo[:, None]) | (e >= e_max[:, None])
-    return jnp.where(keep, filtered, NEG_INF)
-
-
 @partial(
     jax.jit,
     static_argnames=("cfg", "n_steps", "s_view"),
@@ -675,9 +644,9 @@ def t3_decode_slice(
         )
         sub_keys = jax.vmap(jax.random.fold_in)(state["slot_keys"], state["step"])
         filtered = guided / jnp.maximum(state["temperature"][:, None], 1e-4)
-        # top-p per request (top_p is a traced vector → inline nucleus filter,
-        # sort-free bisection — see _top_p_filter)
-        filtered = _top_p_filter(filtered, state["top_p"])
+        # top-p per request (top_p is a traced vector → per-row nucleus
+        # filter, sort-free bisection — ops/sampling.top_p_filter)
+        filtered = top_p_filter(filtered, state["top_p"])
         sampled = jax.vmap(lambda k, lg: jax.random.categorical(k, lg))(sub_keys, filtered)
         greedy = jnp.argmax(guided, axis=-1)
         token = jnp.where(state["temperature"] <= 0.0, greedy, sampled).astype(jnp.int32)

@@ -27,22 +27,45 @@ def apply_repetition_penalty(
     return jnp.where(seen, penalized, logits)
 
 
-def top_p_filter(logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
-    """Mask logits outside the nucleus (cumulative prob <= top_p).
+def top_p_filter(logits: jnp.ndarray, top_p) -> jnp.ndarray:
+    """Mask logits outside the nucleus (cumulative prob <= top_p) WITHOUT a
+    full-vocab sort.
 
-    Fully vectorized: sort descending, keep tokens whose *preceding*
-    cumulative mass is < top_p (so at least one token always survives).
+    The sort-based filter — keep the minimal descending-probability prefix
+    whose mass reaches top_p, plus all ties of the crossing logit (reference
+    semantics: the HF top_p warper consumed by inference_stream,
+    /root/reference/src/tts_streaming.py:483-491) — is equivalent to
+    thresholding at t* = max{t : mass{q_i >= t} >= top_p}: the crossing
+    value IS that maximal threshold. t* is found by bisection on the
+    unnormalized softmax masses: 30 fused compare+reduce passes over
+    [..., V] instead of XLA's O(log^2 V) sorting-network passes (the sort
+    dominated the decode step's sampling tail at V=8194 — BENCH_NOTES r4).
+    Exact up to the bisection width (~max_prob * 2^-30): a token flips
+    membership only if its probability sits within ~1e-9 of the nucleus
+    boundary. At least one token (the argmax and its ties) always survives.
+
+    ``top_p`` may be a Python float or an array broadcastable to
+    ``logits.shape[:-1]`` (per-row nucleus mass).
     """
-    sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
-    sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
-    cum = jnp.cumsum(sorted_probs, axis=-1)
-    cum_before = cum - sorted_probs
-    keep_sorted = cum_before < top_p
-    # Threshold logit: smallest kept logit per row.
-    thresh = jnp.min(
-        jnp.where(keep_sorted, sorted_logits, jnp.inf), axis=-1, keepdims=True
+    p = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), logits.shape[:-1])
+    e = jnp.exp(logits - jnp.max(logits, axis=-1, keepdims=True))
+    e_max = jnp.max(e, axis=-1)  # == 1.0 wherever any logit is finite
+    target = p * jnp.sum(e, axis=-1)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        mass = jnp.sum(jnp.where(e >= mid[..., None], e, 0.0), axis=-1)
+        ge = mass >= target  # mid still keeps enough mass -> raise lo
+        return jnp.where(ge, mid, lo), jnp.where(ge, hi, mid)
+
+    lo, _ = jax.lax.fori_loop(
+        0, 30, body, (jnp.zeros_like(target), e_max * 1.000001 + 1e-30)
     )
-    return jnp.where(logits >= thresh, logits, NEG_INF)
+    # always keep the argmax (and its ties): degrades gracefully to greedy
+    # as top_p -> 0 instead of producing an all -inf row
+    keep = (e >= lo[..., None]) | (e >= e_max[..., None])
+    return jnp.where(keep, logits, NEG_INF)
 
 
 def sample_token(

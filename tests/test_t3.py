@@ -192,10 +192,11 @@ def test_paired_cache_layout_matches_seq(params):
 
 
 def test_top_p_bisection_matches_sort_reference():
-    """_top_p_filter (sort-free bisection) must reproduce the sort-based
+    """top_p_filter (sort-free bisection) must reproduce the sort-based
     nucleus semantics (minimal descending-probability prefix reaching top_p,
     plus ties of the crossing logit) away from the ~1e-9 bisection boundary."""
-    from chatterbox_tpu.models.t3.model import NEG_INF, _top_p_filter
+    from chatterbox_tpu.ops.nn import NEG_INF
+    from chatterbox_tpu.ops.sampling import top_p_filter
 
     def sort_reference(filtered, top_p):
         sorted_logits = jnp.sort(filtered, axis=-1)[:, ::-1]
@@ -214,7 +215,7 @@ def test_top_p_bisection_matches_sort_reference():
         logits = logits.at[:, V // 2 : V // 2 + 5].set(NEG_INF)
         for p in (0.05, 0.5, 0.9, 0.95, 0.999):
             top_p = jnp.full((B,), p, jnp.float32)
-            got = np.asarray(_top_p_filter(logits, top_p))
+            got = np.asarray(top_p_filter(logits, top_p))
             want = np.asarray(sort_reference(logits, top_p))
             np.testing.assert_array_equal(
                 got > NEG_INF / 2, want > NEG_INF / 2,
@@ -229,17 +230,18 @@ def test_top_p_bisection_matches_sort_reference():
 def test_top_p_filter_edge_cases():
     """top_p -> 1 keeps every finite logit; top_p -> 0 degrades to the
     argmax (never an all -inf row); ties at the boundary are all kept."""
-    from chatterbox_tpu.models.t3.model import NEG_INF, _top_p_filter
+    from chatterbox_tpu.ops.nn import NEG_INF
+    from chatterbox_tpu.ops.sampling import top_p_filter
 
     logits = jnp.asarray([[1.0, 0.5, 0.5, -2.0, NEG_INF]], jnp.float32)
-    all_kept = np.asarray(_top_p_filter(logits, jnp.array([1.0]))) > NEG_INF / 2
+    all_kept = np.asarray(top_p_filter(logits, jnp.array([1.0]))) > NEG_INF / 2
     np.testing.assert_array_equal(all_kept, [[True, True, True, True, False]])
 
-    greedy = np.asarray(_top_p_filter(logits, jnp.array([1e-9]))) > NEG_INF / 2
+    greedy = np.asarray(top_p_filter(logits, jnp.array([1e-9]))) > NEG_INF / 2
     np.testing.assert_array_equal(greedy, [[True, False, False, False, False]])
 
     # the crossing logit's ties: p just above P(top1) must keep BOTH 0.5s
     e = np.exp([1.0, 0.5, 0.5, -2.0])
     p_cross = (e[0] + 0.5 * e[1]) / e.sum()
-    ties = np.asarray(_top_p_filter(logits, jnp.array([p_cross]))) > NEG_INF / 2
+    ties = np.asarray(top_p_filter(logits, jnp.array([p_cross]))) > NEG_INF / 2
     np.testing.assert_array_equal(ties, [[True, True, True, False, False]])
