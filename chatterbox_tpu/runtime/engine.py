@@ -406,6 +406,10 @@ class TTSEngine:
                     state_tokens=self._reachable_token_cap() + MAX_TAIL_TOKENS,
                     tail_infer=self._s3gen_tail_infer_fn(),
                 )
+                # first-audio priority: after a fresh slot's first tokens, the
+                # decode loop lets the request's first S3Gen dispatch enqueue
+                # ahead of the next decode slice (see scheduler.py)
+                self.decoder.first_audio_gate = self.s3gen_scheduler.wait_dispatch
             self._progress = "Warming up compiled graphs..."
             await asyncio.to_thread(self._warmup)
             if self.decoder is not None:
@@ -1391,6 +1395,16 @@ class TTSEngine:
                 pending = make_item(buf[:target], slice_idx)
                 buf = buf[target:]
                 target = slice_size
+                # tokens remain past the cut → this slice provably isn't the
+                # last: emit NOW instead of holding it until the next decode
+                # slice arrives. For the first (look-ahead) slice the holdback
+                # was a full ~400 ms batch slice of first-audio latency
+                # (measured scripts/ttfa_trace.py: TTFA 952 ms, 390 of them
+                # the pending holdback).
+                if len(buf):
+                    if not await emit(pending):
+                        return -1
+                    pending = None
         if len(buf):
             if pending is not None and not await emit(pending):
                 return -1

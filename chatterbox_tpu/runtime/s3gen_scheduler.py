@@ -109,6 +109,11 @@ class S3GenScheduler:
         self._wake = asyncio.Event()
         self._task: Optional[asyncio.Task] = None
         self._loop: Optional[asyncio.AbstractEventLoop] = None
+        # dispatch sequencing for the first-audio gate (see wait_dispatch):
+        # bumped the moment a batched graph has been ENQUEUED on the device
+        # (async dispatch returns before completion), not when it finishes
+        self._dispatch_seq = 0
+        self._dispatch_evt: Optional[asyncio.Event] = None
         self._jit = {}
         self._zero_state: Optional[jax.Array] = None
         # stacked all-zeros state rows per batch size: in zero-overlap mode
@@ -211,8 +216,37 @@ class S3GenScheduler:
             return
         self._loop = loop
         self._wake = asyncio.Event()
+        self._dispatch_evt = asyncio.Event()
         self._queues = {}
         self._task = loop.create_task(self._run())
+
+    def _signal_dispatch(self) -> None:
+        """Loop-thread callback: a batch was enqueued on the device."""
+        self._dispatch_seq += 1
+        if self._dispatch_evt is not None:
+            self._dispatch_evt.set()
+
+    async def wait_dispatch(self, timeout: float = 0.25) -> bool:
+        """Wait (bounded) until the NEXT batch dispatch is enqueued on the
+        device. First-audio gate: the T3 decode loop calls this after a slice
+        that produced a fresh request's first tokens, so that request's first
+        S3Gen call wins the single-chip device-queue race against the next
+        ~400 ms decode slice (measured scripts/ttfa_trace.py: the first
+        S3Gen call otherwise serializes behind an already-enqueued decode
+        slice — 410 ms wall for ~106 ms of compute)."""
+        self.start()
+        seq0 = self._dispatch_seq
+        deadline = asyncio.get_running_loop().time() + timeout
+        while self._dispatch_seq == seq0:
+            remaining = deadline - asyncio.get_running_loop().time()
+            if remaining <= 0:
+                return False
+            self._dispatch_evt.clear()
+            try:
+                await asyncio.wait_for(self._dispatch_evt.wait(), remaining)
+            except asyncio.TimeoutError:
+                return False
+        return True
 
     def stop(self) -> None:
         if self._task is not None:
@@ -335,6 +369,15 @@ class S3GenScheduler:
                         self.params, tokens, tlen, ref, states, clen, keys,
                         shifts, starts,
                     )
+                # the jitted call returned → the graph is enqueued (async
+                # dispatch); signal the first-audio gate before blocking on
+                # the fetch below
+                loop = self._loop
+                if loop is not None and not loop.is_closed():
+                    try:
+                        loop.call_soon_threadsafe(self._signal_dispatch)
+                    except RuntimeError:
+                        pass
                 # only the tails cross the tunnel; states stay device-resident
                 return np.asarray(tails), starts_host, new_states
 

@@ -127,6 +127,12 @@ class BatchedT3Decoder:
         # high-watermark of slots decoded in one slice: observability that
         # continuous batching actually batches (tested out-of-the-box)
         self.max_active_seen = 0
+        # first-audio gate (engine wires this to S3GenScheduler.wait_dispatch):
+        # after a slice in which a fresh look-ahead slot produced its FIRST
+        # tokens, the loop waits (bounded) for the next S3Gen dispatch to be
+        # enqueued so the request's first synthesis wins the device-queue
+        # race against this loop's next ~400 ms slice (TTFA; ttfa_trace.py)
+        self.first_audio_gate = None
         self._wake = asyncio.Event()
         self._task: Optional[asyncio.Task] = None
         self._loop: Optional[asyncio.AbstractEventLoop] = None
@@ -501,6 +507,12 @@ class BatchedT3Decoder:
                 for s in active:
                     self._pos_host[s] += n_steps
 
+                # slots whose first tokens this slice begin a first-audio path
+                fresh_first = [
+                    s for s in active
+                    if self._produced.get(s) == 0 and self._lookahead.get(s, 0) > 0
+                ]
+
                 for slot in active:
                     row = tokens[slot]
                     eos = np.where(row == cfg.stop_speech_token)[0]
@@ -517,6 +529,20 @@ class BatchedT3Decoder:
                         if not bool(done[slot]):
                             self.state = self._finish_fn()(self.state, slot)
                         self._release(slot)
+
+                if self.first_audio_gate is not None and any(
+                    self._produced.get(s, 0) > 0 or s not in self._queues
+                    for s in fresh_first
+                ):
+                    # bounded: a gate timeout only means the next decode slice
+                    # starts on schedule (TTFA falls back to pre-gate behavior)
+                    try:
+                        await self.first_audio_gate()
+                    except asyncio.CancelledError:
+                        raise
+                    except Exception:
+                        log.warning("first-audio gate failed", exc_info=True)
+                        self.first_audio_gate = None
         except asyncio.CancelledError:
             raise
         except Exception as exc:

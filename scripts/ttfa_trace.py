@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Single-request TTFA timeline: where does first-audio latency go?
+
+Starts the real app in-process (same setup as serve_bench), runs warm-up
+requests until the graphs are hot, then traces ONE request: every
+metrics.record_stage event is timestamped relative to the request's start,
+alongside the client-side first-body-byte and first-audio-byte marks.
+
+Usage (TPU):  API_KEY=test python scripts/ttfa_trace.py [--warmups 2]
+Prints a timeline table and one JSON line with the component breakdown.
+"""
+import argparse
+import asyncio
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TEXT = (
+    "The quick brown fox jumps over the lazy dog while the orchestra plays "
+    "a long and winding melody that never quite resolves, keeping every "
+    "listener waiting for the final chord."
+)
+
+
+async def _request(session, url: str, idx: int, events=None) -> dict:
+    t0 = time.perf_counter()
+    ttfa = None
+    ttfa_audio = None
+    n_bytes = 0
+    params = {
+        "text": TEXT,
+        "format": "wav",
+        "request_id": f"ttfa-trace-{idx}",
+        "chunk_overlap_strategy": os.environ.get("TRACE_OVERLAP", "full"),
+    }
+    async with session.get(url, params=params) as resp:
+        assert resp.status == 200, f"status {resp.status}"
+        async for chunk in resp.content.iter_chunked(65536):
+            if ttfa is None and chunk:
+                ttfa = time.perf_counter() - t0
+                if events is not None:
+                    events.append((ttfa, "client_first_body_byte", 0.0))
+            n_bytes += len(chunk)
+            if ttfa_audio is None and n_bytes > 44:
+                ttfa_audio = time.perf_counter() - t0
+                if events is not None:
+                    events.append((ttfa_audio, "client_first_audio_byte", 0.0))
+    wall = time.perf_counter() - t0
+    return {"ttfa": ttfa, "ttfa_audio": ttfa_audio, "wall": wall,
+            "audio_s": max(n_bytes - 44, 0) / 2 / 24000, "t0": t0}
+
+
+async def main(args) -> None:
+    import aiohttp
+    from aiohttp import web
+
+    from chatterbox_tpu.serve.app import create_app
+    from chatterbox_tpu.runtime import metrics as metrics_mod
+
+    app = create_app(warm_voices=False)
+    runner = web.AppRunner(app)
+    await runner.setup()
+    port = int(os.environ.get("PORT", "8047"))
+    site = web.TCPSite(runner, "127.0.0.1", port)
+    await site.start()
+
+    engine = app["engine"]
+    t_init0 = time.perf_counter()
+    while engine.get_initialization_status()["state"] != "ready":
+        await asyncio.sleep(1.0)
+        if time.perf_counter() - t_init0 > 7200:
+            raise RuntimeError("engine init timeout")
+    print(f"engine ready in {time.perf_counter() - t_init0:.1f}s", flush=True)
+
+    url = f"http://127.0.0.1:{port}/tts/generate"
+    headers = {"X-API-Key": os.environ.get("API_KEY", "test")}
+    async with aiohttp.ClientSession(headers=headers) as session:
+        for i in range(args.warmups):
+            r = await _request(session, url, i)
+            print(f"warmup {i}: ttfa_audio={r['ttfa_audio']:.3f}s "
+                  f"wall={r['wall']:.1f}s audio={r['audio_s']:.1f}s", flush=True)
+
+        # ---- traced request: timestamp every stage event ----
+        events = []  # (t_rel, stage, dur_s)
+        t_req0 = None
+        real_record = metrics_mod.metrics.record_stage
+
+        def traced_record(name, dt_s, items=1):
+            if t_req0 is not None:
+                events.append((time.perf_counter() - t_req0, name, dt_s))
+            return real_record(name, dt_s, items=items)
+
+        metrics_mod.metrics.record_stage = traced_record
+        t_req0 = time.perf_counter()
+        r = await _request(session, url, 999, events=events)
+        metrics_mod.metrics.record_stage = real_record
+
+    print("\n--- timeline (s after request start; [start→end] device/host span) ---")
+    cut = None
+    for t_end, name, dur in sorted(events):
+        mark = ""
+        if cut is None and name == "client_first_audio_byte":
+            cut = t_end
+            mark = "  <== TTFA"
+        print(f"  [{t_end - dur:7.3f} → {t_end:7.3f}] {name:28s} ({dur*1e3:7.1f} ms){mark}")
+    pre_ttfa = {}
+    for t_end, name, dur in events:
+        if cut is None or t_end <= cut + 1e-6:
+            pre_ttfa[name] = pre_ttfa.get(name, 0.0) + dur
+    print("\npre-TTFA stage sums:", {k: round(v * 1e3, 1) for k, v in pre_ttfa.items()})
+    accounted = sum(v for k, v in pre_ttfa.items() if not k.startswith("client"))
+    print(json.dumps({
+        "ttfa_audio_s": round(r["ttfa_audio"], 3),
+        "wall_s": round(r["wall"], 2),
+        "audio_s": round(r["audio_s"], 2),
+        "pre_ttfa_stage_ms": {k: round(v * 1e3, 1) for k, v in pre_ttfa.items()},
+        "unaccounted_ms": round((r["ttfa_audio"] - accounted) * 1e3, 1),
+    }), flush=True)
+
+    await runner.cleanup()
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--warmups", type=int, default=2)
+    args = p.parse_args()
+    from chatterbox_tpu.runtime.engine import ensure_backend_initialized
+    ensure_backend_initialized()
+    asyncio.run(main(args))
