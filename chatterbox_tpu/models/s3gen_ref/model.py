@@ -27,8 +27,10 @@ from .config import S3GenRefConfig
 from .decoder import (
     cfm_generate,
     cfm_generate_cached,
+    cfm_generate_streaming,
     cfm_prompt_prefill,
     init_estimator_params,
+    init_stream_state,
 )
 from .features import hifigan_log_mel, kaldi_fbank, reflect_tail
 from .hift import hift_decode, init_hift_params, make_source, predict_f0
@@ -143,6 +145,52 @@ def _packed_prompt_mel(cfg: S3GenRefConfig, ref: Dict, dtype) -> jnp.ndarray:
     return packed_mel
 
 
+def _encode_mu(
+    params: Dict,
+    cfg: S3GenRefConfig,
+    tokens: jnp.ndarray,     # [B, T] generated speech tokens, right-padded
+    token_len: jnp.ndarray,  # [B]
+    ref: Dict,               # from s3gen_ref_embed_ref
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Upsample-conformer encoder over the [pad | prompt | generated] token
+    track → (mu [B, (P+T)·fpt, 80], valid_f [B, (P+T)·fpt], spk [B, 80])."""
+    B, T = tokens.shape
+    fl = cfg.flow
+    P = cfg.max_prompt_tokens
+
+    packed_prompt, prompt_mask = _left_pack(
+        ref["prompt_tokens"], jnp.minimum(ref["prompt_len"], P)
+    )
+    full = jnp.concatenate([packed_prompt, tokens], axis=1)          # [B, P+T]
+    gen_valid = jnp.arange(T)[None, :] < token_len[:, None]
+    valid = jnp.concatenate([prompt_mask, gen_valid], axis=1)
+
+    emb_table = params["flow"]["input_emb"]
+    emb = emb_table[jnp.clip(full, 0, fl.vocab_size - 1)]
+    emb = jnp.where(valid[:, :, None], emb, 0.0)
+    h, valid_f = upsample_encode(params["flow"]["encoder"], fl, emb, valid)
+    mu = linear(h, params["flow"]["encoder_proj"]["w"], params["flow"]["encoder_proj"]["b"])
+    return mu, valid_f, _spk_track(params, ref)
+
+
+def _source_with_cache(
+    params: Dict,
+    cfg: S3GenRefConfig,
+    mel_gen: jnp.ndarray,       # [B, T·fpt, 80] f32, invalid frames zeroed
+    source_cache: jnp.ndarray,  # [B, T·spt] excitation prefix
+    cache_len: jnp.ndarray,     # [B] valid samples in source_cache
+    key: jax.Array,
+) -> jnp.ndarray:
+    """HiFT excitation with continuity (reference cache_source contract)."""
+    f0 = predict_f0(params["mel2wav"], cfg.hift, mel_gen)            # [B, T·fpt]
+    source = make_source(params["mel2wav"], cfg.hift, f0, jax.random.fold_in(key, 1))
+    L = source.shape[1]
+    idx = jnp.arange(L)[None, :]
+    return jnp.where(
+        idx < cache_len[:, None], source_cache[:, :L].astype(source.dtype), source
+    )
+
+
 def _mel_and_source(
     params: Dict,
     cfg: S3GenRefConfig,
@@ -166,24 +214,9 @@ def _mel_and_source(
     fl = cfg.flow
     P = cfg.max_prompt_tokens
     fpt = fl.up_stride
-    spt = cfg.samples_per_token
     Pm = P * fpt
 
-    # [pad | prompt | generated] token track (contiguous valid region)
-    packed_prompt, prompt_mask = _left_pack(
-        ref["prompt_tokens"], jnp.minimum(ref["prompt_len"], P)
-    )
-    full = jnp.concatenate([packed_prompt, tokens], axis=1)          # [B, P+T]
-    gen_valid = jnp.arange(T)[None, :] < token_len[:, None]
-    valid = jnp.concatenate([prompt_mask, gen_valid], axis=1)
-
-    emb_table = params["flow"]["input_emb"]
-    emb = emb_table[jnp.clip(full, 0, fl.vocab_size - 1)]
-    emb = jnp.where(valid[:, :, None], emb, 0.0)
-    h, valid_f = upsample_encode(params["flow"]["encoder"], fl, emb, valid)
-    mu = linear(h, params["flow"]["encoder_proj"]["w"], params["flow"]["encoder_proj"]["b"])
-
-    spk = _spk_track(params, ref)
+    mu, valid_f, spk = _encode_mu(params, cfg, tokens, token_len, ref)
 
     gen_frame_valid = valid_f[:, Pm:]
     if cfm_cache is not None:
@@ -204,13 +237,7 @@ def _mel_and_source(
     # bf16 deviation is scoped to the encoder/CFM — the NSF source phase
     # accumulation and ISTFT phase math stay full-precision.
     mel_gen = mel_gen.astype(jnp.float32)
-
-    # HiFT excitation with continuity (reference cache_source contract)
-    f0 = predict_f0(params["mel2wav"], cfg.hift, mel_gen)            # [B, T·fpt]
-    source = make_source(params["mel2wav"], cfg.hift, f0, jax.random.fold_in(key, 1))
-    L = T * spt
-    idx = jnp.arange(L)[None, :]
-    source = jnp.where(idx < cache_len[:, None], source_cache[:, :L].astype(source.dtype), source)
+    source = _source_with_cache(params, cfg, mel_gen, source_cache, cache_len, key)
     return mel_gen, source
 
 
@@ -288,15 +315,29 @@ def s3gen_ref_inference_tail(
     start + tail + margin] window reproduces the emitted samples exactly
     (margin = hift_receptive_margin) while the vocoder cost stays constant
     per slice instead of growing with the accumulated length."""
-    from .hift import hift_receptive_margin
-
-    B, T = tokens.shape
-    fpt = cfg.flow.up_stride
-    spt = cfg.samples_per_token
     mel_gen, source = _mel_and_source(
         params, cfg, tokens, token_len, ref, source_cache, cache_len, key,
         cfm_cache=cfm_cache,
     )
+    wav_tail = _vocode_tail_window(params, cfg, mel_gen, source, start, tail_len)
+    return wav_tail, source
+
+
+def _vocode_tail_window(
+    params: Dict,
+    cfg: S3GenRefConfig,
+    mel_gen: jnp.ndarray,  # [B, T·fpt, 80]
+    source: jnp.ndarray,   # [B, T·spt]
+    start: jnp.ndarray,    # [B] first wanted output sample
+    tail_len: int,         # static
+) -> jnp.ndarray:
+    """Vocode a receptive-field window → wav[:, start:start+tail_len] EXACTLY
+    (see s3gen_ref_inference_tail for the locality argument)."""
+    from .hift import hift_receptive_margin
+
+    fpt = cfg.flow.up_stride
+    spt = cfg.samples_per_token
+    T = source.shape[1] // spt
     # window extents in whole tokens (spt-aligned keeps mel/source in step)
     margin_tok = -(-hift_receptive_margin(cfg.hift) // spt) + 1
     tail_tok = -(-tail_len // spt)
@@ -313,5 +354,96 @@ def s3gen_ref_inference_tail(
         )[0]
         return jax.lax.dynamic_slice(wav_w, (start_b - w0_t * spt,), (tail_len,))
 
-    wav_tail = jax.vmap(one)(mel_gen, source, w0_tok, start)
-    return wav_tail, source
+    return jax.vmap(one)(mel_gen, source, w0_tok, start)
+
+
+def init_s3gen_stream_state(
+    cfg: S3GenRefConfig,
+    cfm_cache: Dict,   # per-voice cache from s3gen_ref_prompt_prefill
+    window: int,       # K/V ring capacity in mel frames
+    cap_tokens: int,   # largest accumulated token count a chunk can reach
+) -> Dict:
+    """Fresh per-request (per-chunk) streaming state for
+    s3gen_ref_inference_streaming: the CFM stream context (K/V ring, conv
+    halos, GN running stats — see decoder.init_stream_state) plus the frozen
+    accumulated-mel buffer the vocoder/excitation read from. All leaves are
+    immutable JAX arrays, so one state is shared as the fresh template by
+    every request of a voice."""
+    return {
+        "cfm": init_stream_state(cfg.flow, cfm_cache, window, batch=1),
+        "mel": jnp.zeros((1, cap_tokens * cfg.flow.up_stride, cfg.flow.output_size),
+                         jnp.float32),
+    }
+
+
+def s3gen_ref_inference_streaming(
+    params: Dict,
+    cfg: S3GenRefConfig,
+    tokens: jnp.ndarray,        # [B, T] ACCUMULATED chunk tokens, right-padded
+    token_len: jnp.ndarray,     # [B] total valid tokens (old + new)
+    new_len: jnp.ndarray,       # [B] NEW tokens this slice (suffix of the valid region)
+    ref: Dict,                  # from s3gen_ref_embed_ref
+    source_cache: jnp.ndarray,  # [B, T·spt] excitation prefix
+    cache_len: jnp.ndarray,     # [B] valid samples in source_cache
+    key: jax.Array,             # chunk-stable key (same every slice)
+    start: jnp.ndarray,         # [B] first wanted output sample
+    tail_len: int,              # static: samples returned per row
+    rstate: Dict,               # from init_s3gen_stream_state / previous slice
+    new_block_tokens: int,      # static upper bound on new_len
+    cfm_cache: Dict | None = None,  # REQUIRED (per-voice prompt context)
+) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
+    """Streaming full-overlap chunk slice → (wav_tail [B, tail_len],
+    new_source_cache [B, T·spt], new_rstate).
+
+    The reference's "full" overlap strategy re-synthesizes the ACCUMULATED
+    token stream every slice (/root/reference/src/tts_streaming.py:655-659).
+    This path solves ONLY the slice's new frames against [frozen voice
+    prompt | frozen previous generated frames] (cfm_generate_streaming) and
+    reads earlier frames' mel from the per-request buffer, so per-slice CFM
+    cost is constant in utterance length. The encoder still re-encodes the
+    accumulated track bidirectionally (~1% of estimator FLOPs — exact mu),
+    and f0/source/vocoder keep today's contracts: the chunk-stable key makes
+    the excitation bit-reproducible across slices, the source prefix is
+    cache-overridden, and the vocoder windows the emitted tail (EXACT given
+    the frozen mel). A chunk's FIRST slice equals s3gen_ref_inference_tail
+    up to fp32 summation order (fresh state degenerates to the prompt cache;
+    the right-packed small block reorders GroupNorm/attention reductions —
+    tests/test_s3gen_streaming.py); later slices are the documented one-way
+    deviation, quality-measured by scripts/quality_study.py."""
+    assert cfm_cache is not None, "streaming inference requires the CFM prompt cache"
+    B, T = tokens.shape
+    fl = cfg.flow
+    fpt = fl.up_stride
+    Pm = cfg.max_prompt_tokens * fpt
+    TgF = new_block_tokens * fpt
+
+    mu, valid_f, spk = _encode_mu(params, cfg, tokens, token_len, ref)
+
+    # gather the NEW frames' mu, right-packed into the static block
+    frames_total = token_len * fpt                                   # [B]
+    new_frames = new_len * fpt                                       # [B]
+    old_frames = frames_total - new_frames                           # [B]
+    j = jnp.arange(TgF)[None, :]                                     # [1, TgF]
+    src_frame = Pm + old_frames[:, None] + (j - (TgF - new_frames[:, None]))
+    idx = jnp.clip(src_frame, 0, mu.shape[1] - 1)
+    mu_new = jnp.take_along_axis(mu, idx[:, :, None], axis=1)        # [B, TgF, M]
+
+    mel_new, new_cfm = cfm_generate_streaming(
+        params["flow"]["estimator"], fl, key, mu_new, spk,
+        new_frames.astype(jnp.int32), cfm_cache, rstate["cfm"],
+    )
+
+    # write the new frames into the frozen-mel buffer (pure gather + select:
+    # only rows [old, total) change; the template's zeros beyond stay zeros)
+    buf = rstate["mel"]                                              # [B, Fc, M]
+    jj = jnp.arange(buf.shape[1])[None, :]
+    is_new = (jj >= old_frames[:, None]) & (jj < frames_total[:, None])
+    bsrc = jnp.clip(jj - old_frames[:, None] + (TgF - new_frames[:, None]),
+                    0, TgF - 1)
+    gathered = jnp.take_along_axis(mel_new.astype(buf.dtype), bsrc[:, :, None], axis=1)
+    buf = jnp.where(is_new[:, :, None], gathered, buf)
+
+    mel_gen = buf[:, : T * fpt]                                      # [B, T·fpt, M]
+    source = _source_with_cache(params, cfg, mel_gen, source_cache, cache_len, key)
+    wav_tail = _vocode_tail_window(params, cfg, mel_gen, source, start, tail_len)
+    return wav_tail, source, {"cfm": new_cfm, "mel": buf}

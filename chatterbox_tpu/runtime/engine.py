@@ -42,8 +42,10 @@ from ..models.s3gen import S3GenConfig, init_s3gen_params, s3gen_embed_ref, s3ge
 from ..models.s3gen_ref import (
     S3GenRefConfig,
     init_s3gen_ref_params,
+    init_s3gen_stream_state,
     s3gen_ref_embed_ref,
     s3gen_ref_inference,
+    s3gen_ref_inference_streaming,
     s3gen_ref_inference_tail,
     s3gen_ref_prompt_prefill,
     s3tok_ref_tokenize,
@@ -405,6 +407,7 @@ class TTSEngine:
                     self.params["s3gen"], self.gen_cfg, infer=self._s3gen_infer_fn(),
                     state_tokens=self._reachable_token_cap() + MAX_TAIL_TOKENS,
                     tail_infer=self._s3gen_tail_infer_fn(),
+                    stream_infer=self._s3gen_stream_infer_fn(),
                 )
                 # first-audio priority: after a fresh slot's first tokens, the
                 # decode loop lets the request's first S3Gen dispatch enqueue
@@ -456,7 +459,8 @@ class TTSEngine:
         batched-S3Gen and ~12 s/view decode compiles mid-wave).
 
         Keys: ``s3gen`` [T...], ``s3gen_batched`` [(T, B)...],
-        ``decode`` [(n_steps, s_view)...], ``insert`` [T_pad...]."""
+        ``s3gen_stream`` [(T, B)...], ``decode`` [(n_steps, s_view)...],
+        ``insert`` [T_pad...]."""
         tts_cfg = get_tts_config()
         slice_size = max(1, min(tts_cfg.AUDIO_TOKENS_PER_SLICE, self.cfg.max_new_tokens))
         t3c = self.cfg.t3
@@ -477,16 +481,38 @@ class TTSEngine:
         plan: Dict[str, list] = {
             "s3gen": ordered,
             "s3gen_batched": [],
+            "s3gen_stream": [],
             "decode": [],
             "insert": [],
         }
         if self.s3gen_scheduler is not None:
+            stream_on = getattr(self.s3gen_scheduler, "_stream_infer", None) is not None
+            # with streaming active, full-overlap traffic rides the stream
+            # graphs at EVERY accumulated bucket; the plain (re-solve) graphs
+            # stay reachable only through zero-overlap slices, whose counts
+            # never exceed slice+EOS — enumerate those buckets with the same
+            # formula the producer uses
+            resolve_T = set(plan["s3gen"])
+            if stream_on:
+                resolve_T = set()
+                for s in sorted({
+                    _snap_slice_size(s, self.cfg.max_new_tokens)
+                    for s in SLICE_SIZE_SNAP
+                }):
+                    bl = _token_bucket_sizes(s, cap)
+                    for c in range(3, min(s + 1, cap) + 1):
+                        t = next((b for b in bl if b >= c), None)
+                        if t is not None:
+                            resolve_T.add(t)
             # every power-of-two batch the scheduler's coalescing can form
             # at each bucket (bounded by the token-product HBM budget)
             for T in plan["s3gen"]:
                 b = 1
                 while b <= self.s3gen_scheduler.allowed_batch(T):
-                    plan["s3gen_batched"].append((T, b))
+                    if T in resolve_T:
+                        plan["s3gen_batched"].append((T, b))
+                    if stream_on:
+                        plan["s3gen_stream"].append((T, b))
                     b *= 2
         if self.decoder is not None:
             from .scheduler import LOOKAHEAD_STEPS
@@ -554,6 +580,14 @@ class TTSEngine:
             batched_by_T: Dict[int, list] = {}
             for T, Bv in plan["s3gen_batched"]:
                 batched_by_T.setdefault(T, []).append(Bv)
+            stream_by_T: Dict[int, list] = {}
+            for T, Bv in plan["s3gen_stream"]:
+                stream_by_T.setdefault(T, []).append(Bv)
+            stream0 = None
+            if stream_by_T and cfm_cache is not None:
+                stream0 = await asyncio.to_thread(
+                    self._stream_state0, "default", cfm_cache
+                )
             # decode slices + prefill inserts first: they are cheap to build
             # and on EVERY request's critical path; the S3Gen bucket ladder
             # (minutes per big batched variant) follows
@@ -627,6 +661,42 @@ class TTSEngine:
                             log.warning(
                                 "precompile: S3Gen (bucket=%d, batch=%d) "
                                 "failed (%s); banned", T, Bv, exc)
+                            self.s3gen_scheduler.ban_batch(T, Bv)
+                            break
+                    state_len = self.s3gen_scheduler.state_len
+                    for Bv in sorted(stream_by_T.get(T, [])):
+                        if stream0 is None:
+                            break
+                        if Bv > self.s3gen_scheduler.allowed_batch(T):
+                            break
+                        def warm_stream(T=T, Bv=Bv):
+                            rB = jax.tree.map(
+                                lambda x: jnp.stack([x] * Bv, 0), conds.gen_ref
+                            )
+                            tails, _, _ = self.s3gen_scheduler._infer_fn_stream(
+                                T, Bv
+                            )(
+                                self.params["s3gen"],
+                                jnp.zeros((Bv, 1, T), jnp.int32),
+                                jnp.full((Bv, 1), T, jnp.int32),
+                                jnp.zeros((Bv, 1), jnp.int32),
+                                rB,
+                                jnp.zeros((Bv, state_len), jnp.float32),
+                                jnp.zeros((Bv, 1), jnp.int32),
+                                jnp.stack([jax.random.PRNGKey(0)] * Bv),
+                                jnp.zeros((Bv,), jnp.int32),
+                                [stream0] * Bv,
+                                cfm_cache,
+                            )
+                            jax.block_until_ready(tails)
+
+                        try:
+                            await asyncio.to_thread(warm_stream)
+                            compiled += 1
+                        except Exception as exc:
+                            log.warning(
+                                "precompile: S3Gen stream (bucket=%d, "
+                                "batch=%d) failed (%s); banned", T, Bv, exc)
                             self.s3gen_scheduler.ban_batch(T, Bv)
                             break
             if self.decoder is None:
@@ -872,6 +942,7 @@ class TTSEngine:
         cap = max(1, int(os.environ.get("CHATTERBOX_CFM_CACHE_VOICES", "4")))
         while len(self._cfm_cache_lru) >= cap:
             evicted, _ = self._cfm_cache_lru.popitem(last=False)
+            self._jit_cache.pop(f"stream0:{evicted}", None)
             log.info("CFM prompt cache: evicted voice '%s' (cap %d)", evicted, cap)
         self._cfm_cache_lru[voice_id] = cache
         return cache
@@ -916,6 +987,48 @@ class TTSEngine:
             )
 
         return tail_infer
+
+    def _s3gen_stream_infer_fn(self):
+        """Streaming full-overlap inference for the batched scheduler: the
+        CFM solves ONLY the slice's new frames against the request's frozen
+        generated context (see s3gen_ref_inference_streaming) instead of
+        re-solving the accumulated stream — the measured residual full-mode
+        cost after the prompt cache (BENCH_NOTES Run G). Ref arch +
+        per-Euler-step prompt cache only; None otherwise."""
+        if self.cfg.s3gen_arch != "ref" or self._cfm_cache_mode() != "step":
+            return None
+        if os.environ.get("CHATTERBOX_CFM_STREAM", "1") != "1":
+            return None
+        cfg = self.cfg.s3gen_ref
+
+        def stream_infer(params, tokens, token_len, new_len, ref, src,
+                         cache_len, key, start, tail_len, rstate,
+                         new_block_tokens, cache=None):
+            return s3gen_ref_inference_streaming(
+                params, cfg, tokens, token_len, new_len, ref, src, cache_len,
+                key, start, tail_len, rstate, new_block_tokens,
+                cfm_cache=cache,
+            )
+
+        return stream_infer
+
+    def _stream_state0(self, voice_id: str, cfm_cache: Dict) -> Dict:
+        """Fresh per-chunk streaming state template for a voice (immutable
+        JAX arrays — shared by every request/chunk of the voice; built once
+        per voice alongside the CFM prompt cache)."""
+        key = f"stream0:{voice_id}"
+        hit = self._jit_cache.get(key)
+        if hit is not None and hit[0] is cfm_cache:
+            return hit[1]
+        refc = self.cfg.s3gen_ref
+        window = int(os.environ.get("CHATTERBOX_STREAM_WINDOW", "512"))
+        state = jax.jit(
+            lambda c: init_s3gen_stream_state(
+                refc, c, window, self._reachable_token_cap()
+            )
+        )(cfm_cache)
+        self._jit_cache[key] = (cfm_cache, state)
+        return state
 
     def _jit_s3gen(self):
         if "s3gen" not in self._jit_cache:
@@ -1101,6 +1214,7 @@ class TTSEngine:
 
     def clear_voice_cache(self, voice_id: str) -> None:
         self._cfm_cache_lru.pop(voice_id, None)
+        self._jit_cache.pop(f"stream0:{voice_id}", None)
         if voice_id in self.voice_cache:
             del self.voice_cache[voice_id]
             log.info("Removed voice '%s' from cache.", voice_id)
@@ -1144,9 +1258,20 @@ class TTSEngine:
 
             conds = await self._get_conds(voice_id, request_id)
             cfm_cache = None
+            stream0 = None
             if self._cfm_cache_mode() != "0":
                 cfm_cache = await asyncio.to_thread(
                     self._cfm_cache_for, voice_id or "default", conds
+                )
+            if (
+                cfm_cache is not None
+                and chunk_overlap_strategy == "full"
+                and self.s3gen_scheduler is not None
+                and self.s3gen_scheduler._stream_infer is not None
+            ):
+                # streaming full-overlap: per-chunk fresh-state template
+                stream0 = await asyncio.to_thread(
+                    self._stream_state0, voice_id or "default", cfm_cache
                 )
             text_chunks = await asyncio.to_thread(
                 split_text_into_chunks, text, text_processing_chunk_size
@@ -1171,7 +1296,7 @@ class TTSEngine:
                     token_q, pcm_q, conds, chunk_overlap_strategy, slice_size,
                     crossfade_duration_milliseconds, remove_leading_milliseconds,
                     remove_trailing_milliseconds, len(text_chunks), request_id,
-                    cancellation_token, cfm_cache,
+                    cancellation_token, cfm_cache, stream0,
                 )
             )
 
@@ -1435,7 +1560,10 @@ class TTSEngine:
         request_id: str,
         token: CancellationToken,
         cfm_cache: Optional[Dict] = None,
+        stream0: Optional[Dict] = None,
     ) -> None:
+        from .s3gen_scheduler import MAX_TAIL_TOKENS
+
         s3p = self.params["s3gen"]
         s3c = self.gen_cfg
         spt = s3c.samples_per_token
@@ -1444,6 +1572,11 @@ class TTSEngine:
         buckets = _token_bucket_sizes(slice_size, self._reachable_token_cap())
         # request-stable noise key → deterministic re-synthesis (seam continuity)
         base_key = jax.random.fold_in(jax.random.PRNGKey(1234), _stable_seed(request_id))
+        # streaming full-overlap (stream0 = the voice's fresh-state template):
+        # the CFM solves only each slice's NEW tokens against the request's
+        # frozen context instead of re-solving the accumulated stream; the
+        # overlap window knob is superseded (no window drop ever happens)
+        streaming = stream0 is not None and overlap == "full"
 
         acc_tokens = np.zeros((0,), np.int32)
         prev_samples = 0
@@ -1452,6 +1585,7 @@ class TTSEngine:
         last_chunk_idx = -1
         source_cache = np.zeros((0,), np.float32)  # host path (no scheduler)
         source_state = None                        # device path (scheduler)
+        rstate = None                              # streaming per-chunk state
 
         async def emit(audio: np.ndarray) -> bool:
             if audio.size == 0:
@@ -1479,6 +1613,7 @@ class TTSEngine:
                     src_valid = 0      # valid samples in the device state row
                     source_cache = np.zeros((0,), np.float32)
                     source_state = None
+                    rstate = stream0 if streaming else None
                     last_chunk_idx = item["chunk_idx"]
                     chunk_key = jax.random.fold_in(base_key, item["chunk_idx"])
 
@@ -1490,25 +1625,45 @@ class TTSEngine:
                         [new_toks, [self.cfg.t3.stop_text_token]]
                     )
                 new_toks = new_toks[new_toks < s3c.vocab_size]
+                new_count = 0
                 if overlap == "full":
+                    prev_acc = acc_tokens.size
                     acc_tokens = np.concatenate([acc_tokens, new_toks])
-                    # Bounded re-synthesis window (CHATTERBOX_OVERLAP_WINDOW_
-                    # TOKENS): the reference re-synthesizes the FULL
-                    # accumulated stream every slice (quadratic —
-                    # tts_streaming.py:655-659); a window keeps only the last
-                    # W tokens of left context (the 10 s voice prompt is
-                    # always present), bounding per-slice cost. 0 = reference
-                    # behavior. Deliberate deviation when set; quality delta
-                    # quantified by scripts/quality_study.py.
-                    W = self.overlap_window
-                    # never drop past the already-emitted prefix: with
-                    # W < tokens-per-slice the naive acc−W drop would cut
-                    # into NEW tokens (negative prev_rel → lost audio)
-                    drop = (
-                        max(0, min(acc_tokens.size - W, prev_samples // spt))
-                        if W else 0
-                    )
-                    infer_tokens = acc_tokens[drop:]
+                    if streaming and rstate is not None:
+                        if acc_tokens.size == 0:
+                            continue
+                        if acc_tokens.size < 3:
+                            # persist the min-conv pad IN the accumulated
+                            # stream so the next slice's old/new split stays
+                            # consistent with the frozen state (token 0 is a
+                            # valid code — the reference EOS quirk)
+                            acc_tokens = np.pad(
+                                acc_tokens, (0, 3 - acc_tokens.size)
+                            )
+                        drop = 0
+                        infer_tokens = acc_tokens
+                        new_count = acc_tokens.size - prev_acc
+                        if new_count == 0:
+                            continue
+                    else:
+                        # Bounded re-synthesis window (CHATTERBOX_OVERLAP_
+                        # WINDOW_TOKENS): the reference re-synthesizes the
+                        # FULL accumulated stream every slice (quadratic —
+                        # tts_streaming.py:655-659); a window keeps only the
+                        # last W tokens of left context (the 10 s voice
+                        # prompt is always present), bounding per-slice cost.
+                        # 0 = reference behavior. Deliberate deviation when
+                        # set; quality delta quantified by
+                        # scripts/quality_study.py.
+                        W = self.overlap_window
+                        # never drop past the already-emitted prefix: with
+                        # W < tokens-per-slice the naive acc−W drop would cut
+                        # into NEW tokens (negative prev_rel → lost audio)
+                        drop = (
+                            max(0, min(acc_tokens.size - W, prev_samples // spt))
+                            if W else 0
+                        )
+                        infer_tokens = acc_tokens[drop:]
                 else:
                     infer_tokens = new_toks
                     drop = 0
@@ -1528,19 +1683,47 @@ class TTSEngine:
                     # round-trips and only the NEW audio tail is fetched
                     # (full-overlap waveforms grow quadratically; the tail is
                     # constant-size — measured r3 host/device breakdown)
+                    stream_this = (
+                        streaming and rstate is not None and overlap == "full"
+                    )
+                    if stream_this and new_count > min(MAX_TAIL_TOKENS, T):
+                        # the decode loop never emits more than slice+EOS
+                        # tokens; if it ever did, the right-packed streaming
+                        # block would silently truncate — fall back to the
+                        # accumulated re-solve for the rest of this chunk
+                        log.error(
+                            "[%s][S3GEN] %d new tokens exceed the streaming "
+                            "block; falling back to re-solve", request_id,
+                            new_count,
+                        )
+                        stream_this = False
+                        rstate = None
                     shift = (drop - src_drop) * spt if overlap == "full" else 0
                     clen = (
                         max(0, min(src_valid - shift, T * spt))
                         if overlap == "full" else 0
                     )
                     metrics.record_stage("s3gen_prep_host", time.perf_counter() - t_prep0)
-                    tail_np, start_used, new_state = await self.s3gen_scheduler.synthesize(
-                        padded[0], infer_tokens.size, conds.gen_ref,
-                        source_state, clen, chunk_key,
-                        shift=shift, prev_rel=prev_rel,
-                        keep_state=(overlap == "full"),
-                        cache=cfm_cache,
-                    )
+                    if stream_this:
+                        tail_np, start_used, new_state, rstate = (
+                            await self.s3gen_scheduler.synthesize(
+                                padded[0], infer_tokens.size, conds.gen_ref,
+                                source_state, clen, chunk_key,
+                                shift=0, prev_rel=prev_rel,
+                                keep_state=True, cache=cfm_cache,
+                                new_len=new_count, rstate=rstate,
+                            )
+                        )
+                    else:
+                        tail_np, start_used, new_state = (
+                            await self.s3gen_scheduler.synthesize(
+                                padded[0], infer_tokens.size, conds.gen_ref,
+                                source_state, clen, chunk_key,
+                                shift=shift, prev_rel=prev_rel,
+                                keep_state=(overlap == "full"),
+                                cache=cfm_cache,
+                            )
+                        )
                     t_host0 = time.perf_counter()
                     audio = tail_np[prev_rel - start_used : valid - start_used]
                     if overlap == "full":

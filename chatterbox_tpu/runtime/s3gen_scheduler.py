@@ -62,11 +62,15 @@ class _Job:
     # Shared by every lane of a batch (vmap in_axes=None — no HBM copies),
     # so batches only form among jobs with the SAME cache object.
     cache: Optional[Dict] = None
+    # streaming full-overlap: NEW tokens this slice + the request's frozen
+    # generated-context state (device tree — see s3gen_ref_inference_streaming)
+    new_len: int = 0
+    rstate: Optional[Dict] = None
 
 
 class S3GenScheduler:
     def __init__(self, params: Dict, cfg, max_batch: int = 16, infer=None,
-                 state_tokens: int = 1032, tail_infer=None):
+                 state_tokens: int = 1032, tail_infer=None, stream_infer=None):
         """``infer``: per-item inference fn with the s3gen_inference signature
         (params, tokens, token_len, ref, src, cache_len, key) — lets the
         engine run either token→waveform architecture through the same
@@ -78,6 +82,17 @@ class S3GenScheduler:
         the emitted tail (exact — see s3gen_ref_inference_tail) instead of
         the full accumulated waveform, keeping per-slice vocoder cost
         constant in "full"-overlap mode.
+
+        ``stream_infer``: optional streaming full-overlap variant
+        (… tail_infer args …, new_len, rstate, new_block_tokens) →
+        (wav_tail, new_src, new_rstate). Jobs submitted with ``rstate`` run
+        through it: the CFM solves only the slice's NEW frames against the
+        request's frozen generated context (see
+        s3gen_ref_inference_streaming). Per-request state trees enter the
+        batched graph as a LIST of job trees, are stacked/unstacked INSIDE
+        the jit (device buffers ride the call by reference — zero extra
+        dispatches on the tunneled runtime), and each job's future carries
+        its new state tree back.
 
         ``state_tokens``: source-cache capacity in tokens (≥ the engine's
         largest token bucket)."""
@@ -105,6 +120,7 @@ class S3GenScheduler:
             )
         )
         self._tail_infer = tail_infer
+        self._stream_infer = stream_infer
         self._queues: Dict[int, List[_Job]] = {}
         self._wake = asyncio.Event()
         self._task: Optional[asyncio.Task] = None
@@ -210,6 +226,49 @@ class S3GenScheduler:
             self._jit[jit_key] = infer
         return self._jit[jit_key]
 
+    def _infer_fn_stream(self, T: int, B: int):
+        """Batched streaming full-overlap graph: per-request state trees are
+        stacked on entry and unstacked on exit INSIDE the jit, so the only
+        host work per call is flattening the arg pytree."""
+        jit_key = (T, B, "stream")
+        if jit_key not in self._jit:
+            stream_infer = self._stream_infer
+            spt = self.cfg.samples_per_token
+            n = T * spt
+            tail = self._tail_len(T)
+            state_len = self.state_len
+            new_block = min(MAX_TAIL_TOKENS, T)
+
+            @jax.jit
+            def infer(params, tokens, token_len, new_len, ref, states,
+                      cache_len, keys, starts, rstates, cache):
+                stacked = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *rstates)
+
+                def one(tk, tl, nl, rf, st, cl, ky, strt, rs):
+                    # streaming never window-drops: the source row's first
+                    # n samples ARE the chunk prefix (shift ≡ 0)
+                    src = st[:n][None]
+                    tail_out, new_src, new_rs = stream_infer(
+                        params, tk, tl, nl, rf, src, cl, ky, strt[None], tail,
+                        rs, new_block, cache=cache,
+                    )
+                    new_state = jnp.zeros((state_len,), jnp.float32)
+                    new_state = jax.lax.dynamic_update_slice(
+                        new_state, new_src[0].astype(jnp.float32), (0,)
+                    )
+                    return tail_out[0], new_state, new_rs
+
+                tails, new_states, new_r = jax.vmap(one)(
+                    tokens, token_len, new_len, ref, states, cache_len, keys,
+                    starts, stacked,
+                )
+                out_states = [jax.tree.map(lambda a: a[i], new_r)
+                              for i in range(B)]
+                return tails, new_states, out_states
+
+            self._jit[jit_key] = infer
+        return self._jit[jit_key]
+
     def start(self) -> None:
         loop = asyncio.get_running_loop()
         if self._task is not None and not self._task.done() and self._loop is loop:
@@ -265,21 +324,30 @@ class S3GenScheduler:
         prev_rel: int = 0,        # first new sample (window-relative)
         keep_state: bool = True,  # False: caller discards the new state row
         cache: Optional[Dict] = None,  # per-voice CFM prompt cache
+        new_len: int = 0,         # streaming: NEW tokens this slice
+        rstate: Optional[Dict] = None,  # streaming: per-request state tree
     ) -> Tuple[np.ndarray, int, jax.Array]:
         """→ (audio tail [tail_len] on host, tail start offset, new device
         state row — None when ``keep_state`` is False). The caller's new
-        audio is ``tail[prev_rel - start :]`` up to its valid length."""
+        audio is ``tail[prev_rel - start :]`` up to its valid length.
+        With ``rstate`` (streaming full-overlap) a 4th element is appended:
+        the request's new state tree for the next slice."""
         self.start()
         fut = asyncio.get_running_loop().create_future()
         if state is None:
             state = self.zero_state()
-        # queues key on (bucket, cache identity): the prompt cache is a
-        # shared (unmapped) operand of the batched graph, so only jobs with
-        # the same cache object can coalesce
-        qkey = (len(tokens), id(cache) if cache is not None else 0)
+        if rstate is not None:
+            assert self._stream_infer is not None and cache is not None, \
+                "streaming jobs need stream_infer and the CFM prompt cache"
+        # queues key on (bucket, cache identity, streaming): the prompt cache
+        # is a shared (unmapped) operand of the batched graph, so only jobs
+        # with the same cache object can coalesce; streaming jobs compile a
+        # different graph and never mix with re-solve jobs
+        qkey = (len(tokens), id(cache) if cache is not None else 0,
+                rstate is not None)
         self._queues.setdefault(qkey, []).append(
             _Job(tokens, token_len, ref, state, cache_len, key, shift, prev_rel,
-                 fut, keep_state, cache)
+                 fut, keep_state, cache, new_len, rstate)
         )
         self._wake.set()
         return await fut
@@ -359,7 +427,14 @@ class S3GenScheduler:
                 starts = np.asarray(starts_host, np.int32)
                 metrics.record_stage("s3gen_stack_host", _time.perf_counter() - t0)
                 cache = jobs[0].cache
-                if cache is not None:
+                out_rstates = None
+                if jobs[0].rstate is not None:
+                    nlen = np.asarray([[j.new_len] for j in pj], np.int32)
+                    tails, new_states, out_rstates = self._infer_fn_stream(T, B)(
+                        self.params, tokens, tlen, nlen, ref, states, clen,
+                        keys, starts, [j.rstate for j in pj], cache,
+                    )
+                elif cache is not None:
                     tails, new_states = self._infer_fn(T, B, cached=True)(
                         self.params, tokens, tlen, ref, states, clen, keys,
                         shifts, starts, cache,
@@ -379,13 +454,15 @@ class S3GenScheduler:
                     except RuntimeError:
                         pass
                 # only the tails cross the tunnel; states stay device-resident
-                return np.asarray(tails), starts_host, new_states
+                return np.asarray(tails), starts_host, new_states, out_rstates
 
             from .metrics import metrics
 
             t0 = _time.perf_counter()
             try:
-                tails, starts_host, new_states = await asyncio.to_thread(run_batch)
+                tails, starts_host, new_states, out_rstates = (
+                    await asyncio.to_thread(run_batch)
+                )
                 dt = _time.perf_counter() - t0
                 metrics.record_stage("s3gen_device", dt, items=len(jobs))
                 log.info("[S3GEN] batch bucket=%d B=%d jobs=%d %.3fs", T, B, take, dt)
@@ -394,10 +471,13 @@ class S3GenScheduler:
                         # indexing new_states dispatches a device gather per
                         # row — skip it when the caller discards the state
                         # (zero-overlap slices: B fewer dispatches per call)
-                        job.future.set_result((
+                        result = (
                             tails[i], starts_host[i],
                             new_states[i] if job.keep_state else None,
-                        ))
+                        )
+                        if out_rstates is not None:
+                            result = result + (out_rstates[i],)
+                        job.future.set_result(result)
             except asyncio.CancelledError:
                 for job in jobs:
                     if not job.future.done():

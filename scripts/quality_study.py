@@ -69,6 +69,17 @@ VARIANTS = [
     ("flow_bf16", {"CHATTERBOX_FLOW_BF16": "1"}),
     ("pcache_step_bf16", {"CHATTERBOX_CFM_PROMPT_CACHE": "step",
                           "CHATTERBOX_FLOW_BF16": "1"}),
+    # streaming full-overlap (r4): the CFM solves only each slice's new
+    # frames against the request's frozen generated context (ring K/V +
+    # halos + GN stats) — replaces the accumulated re-solve entirely.
+    # NOTE: since the r4 default flips CHATTERBOX_CFM_STREAM on, a fresh
+    # "default" run IS streaming; these two isolate the deviation pairwise
+    # (stream_off = the Run E prompt-cache default, reference_resolve = the
+    # reference's full re-encode chain with every cache off).
+    ("cfm_stream_off", {"CHATTERBOX_CFM_STREAM": "0"}),
+    ("reference_resolve", {"CHATTERBOX_CFM_STREAM": "0",
+                           "CHATTERBOX_CFM_PROMPT_CACHE": "0"}),
+    ("stream_window_256", {"CHATTERBOX_STREAM_WINDOW": "256"}),
 ]
 
 # Tiny-model harness check (production values never bind on the 64-token

@@ -204,3 +204,33 @@ def test_plan_is_bounded(engine):
     assert len(p["decode"]) <= 60
     assert len(p["s3gen"]) + len(p["s3gen_batched"]) <= 120
     assert len(p["insert"]) <= 32
+
+
+@pytest.mark.parametrize("max_new", [250, 1000])
+def test_full_config_s3gen_stream_covered(max_new):
+    """With streaming full-overlap active (ref arch + step prompt cache),
+    accumulated-bucket demand rides the STREAM graphs and the plain re-solve
+    graphs stay reachable only through zero-overlap slices — the plan must
+    cover both demand sets."""
+    eng = _fake_full_engine(max_new)
+    eng.s3gen_scheduler._stream_infer = object()   # as the ref arch wires it
+    p = eng._precompile_plan()
+    plan_stream, plan_TB = set(p["s3gen_stream"]), set(p["s3gen_batched"])
+    cap = eng._reachable_token_cap()
+    for req in range(1, 201):
+        s = _snap_slice_size(req, eng.cfg.max_new_tokens)
+        buckets = _token_bucket_sizes(s, cap)
+        # full-overlap accumulated counts → stream graphs
+        for c in range(3, min(cap, eng.cfg.max_new_tokens + 1) + 1):
+            T = next((b for b in buckets if b >= c), None)
+            b = 1
+            while b <= eng.s3gen_scheduler.allowed_batch(T):
+                assert (T, b) in plan_stream, (T, b)
+                b *= 2
+        # zero-overlap counts (≤ slice+EOS, min-3 pad) → re-solve graphs
+        for c in range(3, min(s + 1, cap) + 1):
+            T = next((b for b in buckets if b >= c), None)
+            b = 1
+            while b <= eng.s3gen_scheduler.allowed_batch(T):
+                assert (T, b) in plan_TB, (T, b)
+                b *= 2
