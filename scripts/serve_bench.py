@@ -182,7 +182,7 @@ async def run(args) -> None:
                 cap, base = 0, 3000
                 # start at 2 so a sub-6-stream capacity still measures as a
                 # nonzero honest number; coarsen toward the 16-stream target
-                for n in (2, 4, 6, 8, 10, 12, 16, 20, 24):
+                for n in (2, 4, 6, 8, 10, 12, 16, 20, 24, 28, 32):
                     if n > args.streams:
                         break
                     out = await run_wave(n, overlap, base + 100 * n)

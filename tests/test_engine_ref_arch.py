@@ -136,3 +136,15 @@ def test_zero_overlap_unaffected_by_streaming(env, engine):
         _collect(engine, chunk_overlap_strategy="zero", request_id="zero-req")
     )
     assert data[:4] == b"RIFF" and len(data) > 44
+
+
+def test_streaming_multi_chunk_state_reset(env, engine):
+    """A 2-chunk request resets the streaming state at the chunk boundary
+    (rstate ← the voice's fresh template): both chunks stream, audio is
+    produced for each, and the container stays well-formed."""
+    text = ("The first sentence fills chunk one nicely. "
+            "And the second sentence makes chunk two.")
+    data = asyncio.run(
+        _collect(engine, text=text, request_id="stream-2chunk-req")
+    )
+    assert data[:4] == b"RIFF" and len(data) > 44
