@@ -192,8 +192,16 @@ def test_precompile_populates_dispatch_caches(engine):
     assert t3_decode_slice._cache_size() >= len(plan["decode"])
     # every insert text bucket has its jit built
     assert set(engine.decoder._insert_jit) >= set(plan["insert"])
-    # every (bucket, batch) S3Gen variant the scheduler can form is built
-    assert set(engine.s3gen_scheduler._jit) >= set(plan["s3gen_batched"])
+    # every (bucket, batch) S3Gen variant the scheduler can form is built.
+    # _jit keys are (T, B, cached|"stream"): project to (T, B) per mode —
+    # which cached flag live traffic uses depends on the voice's CFM cache,
+    # and precompile warms the same flag it will see.
+    built = {k[:2] for k in engine.s3gen_scheduler._jit if k[2] != "stream"}
+    assert built >= set(plan["s3gen_batched"])
+    built_stream = {
+        k[:2] for k in engine.s3gen_scheduler._jit if k[2] == "stream"
+    }
+    assert built_stream >= set(plan["s3gen_stream"])
 
 
 def test_plan_is_bounded(engine):
