@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import asyncio
 import dataclasses
+import functools
 import math
 import os
 import time
@@ -411,8 +412,16 @@ class TTSEngine:
                 )
                 # first-audio priority: after a fresh slot's first tokens, the
                 # decode loop lets the request's first S3Gen dispatch enqueue
-                # ahead of the next decode slice (see scheduler.py)
-                self.decoder.first_audio_gate = self.s3gen_scheduler.wait_dispatch
+                # ahead of the next decode slice (see scheduler.py).
+                # CHATTERBOX_FIRST_AUDIO_GATE: "0" disables (A/B for the
+                # admission-churn cost — serve_bench.py --churn); a float sets
+                # the bounded wait in seconds (default 0.25).
+                gate_env = os.environ.get("CHATTERBOX_FIRST_AUDIO_GATE", "1")
+                if gate_env != "0":
+                    timeout = 0.25 if gate_env == "1" else float(gate_env)
+                    self.decoder.first_audio_gate = functools.partial(
+                        self.s3gen_scheduler.wait_dispatch, timeout=timeout
+                    )
             self._progress = "Warming up compiled graphs..."
             await asyncio.to_thread(self._warmup)
             if self.decoder is not None:

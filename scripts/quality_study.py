@@ -80,6 +80,22 @@ VARIANTS = [
     ("reference_resolve", {"CHATTERBOX_CFM_STREAM": "0",
                            "CHATTERBOX_CFM_PROMPT_CACHE": "0"}),
     ("stream_window_256", {"CHATTERBOX_STREAM_WINDOW": "256"}),
+    # the COMPOUND deviation row (VERDICT r4 item 4): every serving default
+    # reverted at once — native KV, no CFM prompt cache, no streaming CFM,
+    # plain XLA decode attention. Its MCD vs "default" is the one number an
+    # operator reads as "default stack vs reference semantics"
+    # (/root/reference/src/tts_streaming.py:655-699).
+    ("reference_exact", {"CHATTERBOX_KV": "native",
+                         "KV_CACHE_DTYPE": "native",
+                         "CHATTERBOX_CFM_PROMPT_CACHE": "0",
+                         "CHATTERBOX_CFM_STREAM": "0",
+                         "CHATTERBOX_PALLAS": "0"}),
+    # long-chunk window study (VERDICT r4 item 6): meaningful only with
+    # CHATTERBOX_MAX_NEW_TOKENS=1000 in the outer env (a 1000-token chunk →
+    # ~2000 mel frames > every ring size, so eviction actually triggers;
+    # 2048 ≥ 2000 never evicts and isolates ring truncation from the
+    # one-way-attention deviation itself).
+    ("stream_window_2048", {"CHATTERBOX_STREAM_WINDOW": "2048"}),
 ]
 
 # Tiny-model harness check (production values never bind on the 64-token

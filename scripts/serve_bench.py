@@ -197,7 +197,66 @@ async def run(args) -> None:
             cap_row = {"capacity_streams": capacity}
             print(json.dumps(cap_row), flush=True)
             results_out.append(cap_row)
-        if not args.capacity:
+        elif args.churn:
+            # Admission-churn cost of the first-audio dispatch gate (VERDICT
+            # r4 item 7): many SHORT staggered requests (high admission rate)
+            # so the decode loop hits the gate's bounded wait constantly.
+            # A/B: run once with CHATTERBOX_FIRST_AUDIO_GATE=1 (default) and
+            # once =0; the row records the gate setting. Short requests come
+            # from CHATTERBOX_MAX_NEW_TOKENS (main() sets 75 ≈ 3 s audio).
+            gate = os.environ.get("CHATTERBOX_FIRST_AUDIO_GATE", "1")
+            n = args.streams
+            stagger_s = args.churn_stagger_ms / 1e3
+
+            async def staggered(i: int):
+                await asyncio.sleep(i * stagger_s)
+                return await _one_request(session, url, 20_000 + i, "full")
+
+            stages0 = await stage_snapshot()
+            t0 = time.perf_counter()
+            results = await asyncio.gather(*[staggered(i) for i in range(n)])
+            wall = time.perf_counter() - t0
+            stages1 = await stage_snapshot()
+            breakdown = {
+                name: {"time_s": round(s1["time_s"] - stages0.get(name, {}).get("time_s", 0.0), 2),
+                       "count": s1["count"] - stages0.get(name, {}).get("count", 0)}
+                for name, s1 in stages1.items()
+                if s1["count"] != stages0.get(name, {}).get("count", 0)
+            }
+            ttfas_audio = sorted(r["ttfa_audio"] for r in results)
+            rtfs = sorted(r["wall"] / max(r["audio_s"], 1e-6) for r in results)
+            audio_total = sum(r["audio_s"] for r in results)
+            out = {
+                "mode": "churn",
+                "first_audio_gate": gate,
+                "streams": n,
+                "stagger_ms": args.churn_stagger_ms,
+                "realtime_streams": sum(1 for r in rtfs if r < 1.0),
+                "ttfa_audio_p50_ms": round(statistics.median(ttfas_audio) * 1e3, 1),
+                "ttfa_audio_p99_ms": round(ttfas_audio[min(len(ttfas_audio) - 1, int(0.99 * len(ttfas_audio)))] * 1e3, 1),
+                "rtf_p50": round(statistics.median(rtfs), 4),
+                "rtf_max": round(rtfs[-1], 4),
+                "audio_s_total": round(audio_total, 1),
+                "wall_s": round(wall, 1),
+                "aggregate_x": round(audio_total / wall, 2),
+                "stages": breakdown,
+            }
+            print(json.dumps(out), flush=True)
+            # merge with prior churn rows (the gate A/B is two invocations)
+            if out_path and out_path != "0":
+                prior = []
+                if os.path.exists(out_path):
+                    try:
+                        with open(out_path) as f:
+                            prior = json.load(f).get("results", [])
+                    except (OSError, ValueError):
+                        prior = []
+                with open(out_path, "w") as f:
+                    json.dump({"measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                               "tiny": bool(args.tiny), "partial": False,
+                               "results": prior + [out]}, f, indent=1)
+            out_path = "0"  # already persisted; skip the trailing persist()
+        else:
             # host-vs-device breakdown (VERDICT r2 item 1): stage seconds
             # accumulated by the engine during each wave (device stages time
             # blocking dispatch+fetch; host stages time numpy/stitch work)
@@ -217,9 +276,24 @@ def main() -> None:
     ap.add_argument("--capacity", action="store_true",
                     help="sweep wave sizes upward and report the largest "
                          "all-realtime wave per overlap mode")
+    ap.add_argument("--churn", action="store_true",
+                    help="staggered SHORT requests (high admission rate) — "
+                         "measures the first-audio dispatch gate's cost; A/B "
+                         "via CHATTERBOX_FIRST_AUDIO_GATE=1/0")
+    ap.add_argument("--churn-stagger-ms", type=float, default=200.0)
     ap.add_argument("--tiny", action="store_true", help="tiny random model (CI/CPU)")
     args = ap.parse_args()
     os.environ.setdefault("API_KEY", "bench")
+    if args.churn:
+        # short requests: ~3 s audio per text chunk so admissions dominate
+        os.environ.setdefault("CHATTERBOX_MAX_NEW_TOKENS", "75")
+        # churn rows go to their own file: the capacity sweep's
+        # serve_bench_results.json is bench.py's headline source
+        os.environ.setdefault(
+            "SERVE_BENCH_OUT",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "churn_bench_results.json"),
+        )
     # the reference default caps in-flight synthesis at 1 per worker
     # (config.py CONCURRENT_REQUESTS_PER_WORKER) — a load test must lift it
     # or it measures queue wait, not serving capacity

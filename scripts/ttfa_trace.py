@@ -112,13 +112,33 @@ async def main(args) -> None:
             pre_ttfa[name] = pre_ttfa.get(name, 0.0) + dur
     print("\npre-TTFA stage sums:", {k: round(v * 1e3, 1) for k, v in pre_ttfa.items()})
     accounted = sum(v for k, v in pre_ttfa.items() if not k.startswith("client"))
-    print(json.dumps({
+    row = {
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "overlap": os.environ.get("TRACE_OVERLAP", "full"),
         "ttfa_audio_s": round(r["ttfa_audio"], 3),
         "wall_s": round(r["wall"], 2),
         "audio_s": round(r["audio_s"], 2),
         "pre_ttfa_stage_ms": {k: round(v * 1e3, 1) for k, v in pre_ttfa.items()},
         "unaccounted_ms": round((r["ttfa_audio"] - accounted) * 1e3, 1),
-    }), flush=True)
+        "timeline": [
+            {"t_end_s": round(t_end, 3), "stage": name, "dur_ms": round(dur * 1e3, 1)}
+            for t_end, name, dur in sorted(events)
+        ],
+    }
+    print(json.dumps({k: v for k, v in row.items() if k != "timeline"}), flush=True)
+    # persist the trace (VERDICT r4 item 2: a JSON artifact, not a commit
+    # message) — appended so successive runs accumulate an evidence trail
+    if args.out and args.out != "0":
+        rows = []
+        if os.path.exists(args.out):
+            try:
+                with open(args.out) as f:
+                    rows = json.load(f)
+            except (OSError, ValueError):
+                rows = []
+        rows.append(row)
+        with open(args.out, "w") as f:
+            json.dump(rows, f, indent=1)
 
     await runner.cleanup()
 
@@ -126,6 +146,9 @@ async def main(args) -> None:
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--warmups", type=int, default=2)
+    p.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "ttfa_trace_results.json"))
     args = p.parse_args()
     from chatterbox_tpu.runtime.engine import ensure_backend_initialized
     ensure_backend_initialized()
