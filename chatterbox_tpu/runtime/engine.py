@@ -474,10 +474,21 @@ class TTSEngine:
         slice_size = max(1, min(tts_cfg.AUDIO_TOKENS_PER_SLICE, self.cfg.max_new_tokens))
         t3c = self.cfg.t3
         cap = self._reachable_token_cap()
+        # CHATTERBOX_PRECOMPILE_SLICES="35" (comma-separated) restricts the
+        # plan to those snapped slice sizes. Benchmarks pin the one slice size
+        # they exercise: the full 7-slice plan's exotic ladders cost hours of
+        # single-CPU compile and ~100 GB of retained compile arenas (measured:
+        # the r5 full-plan precompile OOM-walked a 125 GB host), while any
+        # slice missing here merely compiles at request time.
+        snap_set: tuple = SLICE_SIZE_SNAP
+        env_slices = os.environ.get("CHATTERBOX_PRECOMPILE_SLICES")
+        if env_slices:
+            wanted = {int(x) for x in env_slices.split(",") if x.strip()}
+            snap_set = tuple(s for s in SLICE_SIZE_SNAP if s in wanted) or SLICE_SIZE_SNAP
         # every bucket reachable through the snapped slice-size knob:
         # per-size exact-fit first buckets + the shared doubling ladder
         buckets: list = []
-        for s in sorted({_snap_slice_size(s, self.cfg.max_new_tokens) for s in SLICE_SIZE_SNAP}):
+        for s in sorted({_snap_slice_size(s, self.cfg.max_new_tokens) for s in snap_set}):
             for b in _token_bucket_sizes(s, cap):
                 if b not in buckets:
                     buckets.append(b)
@@ -506,7 +517,7 @@ class TTSEngine:
                 resolve_T = set()
                 for s in sorted({
                     _snap_slice_size(s, self.cfg.max_new_tokens)
-                    for s in SLICE_SIZE_SNAP
+                    for s in snap_set
                 }):
                     bl = _token_bucket_sizes(s, cap)
                     for c in range(3, min(s + 1, cap) + 1):
@@ -554,7 +565,7 @@ class TTSEngine:
             else:
                 views = [None]
             n_steps = set()
-            for s in SLICE_SIZE_SNAP:
+            for s in snap_set:
                 s = _snap_slice_size(s, self.cfg.max_new_tokens)
                 n_steps.add(s)
                 n_steps.add(min(_lookahead_size(s), self.cfg.max_new_tokens))
@@ -581,6 +592,24 @@ class TTSEngine:
         compiled = 0
         try:
             plan = self._precompile_plan()
+            total = (
+                len(plan["decode"]) + len(plan["insert"])
+                + len(plan["s3gen_batched"]) + len(plan["s3gen_stream"])
+                + (len(plan["s3gen"]) if self.s3gen_scheduler is None else 0)
+            )
+            t_pre0 = time.monotonic()
+            last_tick = [t_pre0]
+
+            def tick(done: int) -> None:
+                # heartbeat ≤1/min: a multi-hour blind precompile is
+                # indistinguishable from a hang (r5 operational finding)
+                now = time.monotonic()
+                if now - last_tick[0] >= 60 or done == total:
+                    last_tick[0] = now
+                    log.info(
+                        "precompile: %d/%d variants (%.0f s)",
+                        done, total, now - t_pre0,
+                    )
             conds = self.voice_cache["default"]
             cfm_cache = await asyncio.to_thread(
                 self._cfm_cache_for, "default", conds
@@ -605,6 +634,7 @@ class TTSEngine:
                     plan["decode"], plan["insert"], conds.t3_cond_lanes
                 )
                 compiled += len(plan["decode"]) + len(plan["insert"])
+                tick(compiled)
             for T in plan["s3gen"]:
                 # the unbatched _jit_s3gen is only dispatched on the
                 # decoder-less single-slot path — in scheduler mode every
@@ -628,6 +658,7 @@ class TTSEngine:
                     try:
                         await asyncio.to_thread(warm_bucket)
                         compiled += 1
+                        tick(compiled)
                     except Exception as exc:
                         log.warning("precompile: S3Gen bucket %d failed (%s)", T, exc)
                 # micro-batched (vmapped) variants: first concurrent traffic
@@ -663,6 +694,7 @@ class TTSEngine:
                         try:
                             await asyncio.to_thread(warm_batched)
                             compiled += 1
+                            tick(compiled)
                         except Exception as exc:
                             # an unbuildable variant (HBM OOM) must not kill
                             # precompile NOR stay dispatchable: ban it so the
@@ -702,6 +734,7 @@ class TTSEngine:
                         try:
                             await asyncio.to_thread(warm_stream)
                             compiled += 1
+                            tick(compiled)
                         except Exception as exc:
                             log.warning(
                                 "precompile: S3Gen stream (bucket=%d, "
@@ -742,6 +775,7 @@ class TTSEngine:
 
                     await asyncio.to_thread(compile_view)
                     compiled += 1
+                    tick(compiled)
             log.info("Precompiled %d graph variants in the background", compiled)
         except asyncio.CancelledError:
             raise

@@ -83,6 +83,17 @@ async def main(args) -> None:
             print(f"warmup {i}: ttfa_audio={r['ttfa_audio']:.3f}s "
                   f"wall={r['wall']:.1f}s audio={r['audio_s']:.1f}s", flush=True)
 
+        # ---- optional background load: N streams already mid-flight ----
+        # (--load N): the traced request then measures the LOADED TTFA — the
+        # number serve_bench's capacity rows report (VERDICT r4 item 2)
+        load_tasks = []
+        if args.load:
+            load_tasks = [
+                asyncio.create_task(_request(session, url, 500 + i))
+                for i in range(args.load)
+            ]
+            await asyncio.sleep(args.load_settle_s)
+
         # ---- traced request: timestamp every stage event ----
         events = []  # (t_rel, stage, dur_s)
         t_req0 = None
@@ -97,6 +108,8 @@ async def main(args) -> None:
         t_req0 = time.perf_counter()
         r = await _request(session, url, 999, events=events)
         metrics_mod.metrics.record_stage = real_record
+        if load_tasks:
+            await asyncio.gather(*load_tasks)
 
     print("\n--- timeline (s after request start; [start→end] device/host span) ---")
     cut = None
@@ -115,6 +128,7 @@ async def main(args) -> None:
     row = {
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "overlap": os.environ.get("TRACE_OVERLAP", "full"),
+        "background_load": args.load,
         "ttfa_audio_s": round(r["ttfa_audio"], 3),
         "wall_s": round(r["wall"], 2),
         "audio_s": round(r["audio_s"], 2),
@@ -146,6 +160,9 @@ async def main(args) -> None:
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--warmups", type=int, default=2)
+    p.add_argument("--load", type=int, default=0,
+                   help="N background streams in flight around the traced one")
+    p.add_argument("--load-settle-s", type=float, default=3.0)
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "ttfa_trace_results.json"))

@@ -242,3 +242,25 @@ def test_full_config_s3gen_stream_covered(max_new):
             while b <= eng.s3gen_scheduler.allowed_batch(T):
                 assert (T, b) in plan_TB, (T, b)
                 b *= 2
+
+
+def test_precompile_slices_env_restricts_plan(monkeypatch):
+    """CHATTERBOX_PRECOMPILE_SLICES=35 keeps only the default slice ladder:
+    bench runs pin the one slice size they exercise, because the full 7-slice
+    plan costs hours of single-CPU compile (r5: OOM-walked a 125 GB host).
+    The restricted plan must stay a subset of the full plan, and the full
+    ladder for the kept slice must survive intact."""
+    eng = _fake_full_engine(250)
+    eng.s3gen_scheduler._stream_infer = object()
+    full = eng._precompile_plan()
+    monkeypatch.setenv("CHATTERBOX_PRECOMPILE_SLICES", "35")
+    slim = eng._precompile_plan()
+    for key in ("s3gen", "s3gen_batched", "s3gen_stream", "decode", "insert"):
+        assert set(slim[key]) <= set(full[key]), key
+    cap = eng._reachable_token_cap()
+    assert set(slim["s3gen"]) == set(_token_bucket_sizes(35, cap))
+    # exotic exact-fit buckets are gone; the shared doubling ladder stays
+    assert 8 not in slim["s3gen"] and 100 not in slim["s3gen"]
+    # a bogus value falls back to the full snap set rather than an empty plan
+    monkeypatch.setenv("CHATTERBOX_PRECOMPILE_SLICES", "999")
+    assert set(eng._precompile_plan()["s3gen"]) == set(full["s3gen"])
