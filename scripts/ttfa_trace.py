@@ -74,6 +74,13 @@ async def main(args) -> None:
         if time.perf_counter() - t_init0 > 7200:
             raise RuntimeError("engine init timeout")
     print(f"engine ready in {time.perf_counter() - t_init0:.1f}s", flush=True)
+    # drain the background precompile before tracing: its compiles contend
+    # for the host CPU and would show up inside the traced request's stage
+    # spans (same reasoning as serve_bench)
+    if engine._precompile_task is not None:
+        t0 = time.perf_counter()
+        await engine._precompile_task
+        print(f"precompile finished in {time.perf_counter() - t0:.0f}s", flush=True)
 
     url = f"http://127.0.0.1:{port}/tts/generate"
     headers = {"X-API-Key": os.environ.get("API_KEY", "test")}
