@@ -468,8 +468,8 @@ class TTSEngine:
         batched-S3Gen and ~12 s/view decode compiles mid-wave).
 
         Keys: ``s3gen`` [T...], ``s3gen_batched`` [(T, B)...],
-        ``s3gen_stream`` [(T, B)...], ``decode`` [(n_steps, s_view)...],
-        ``insert`` [T_pad...]."""
+        ``s3gen_stream`` [(T, B, new_block)...], ``decode``
+        [(n_steps, s_view)...], ``insert`` [T_pad...]."""
         tts_cfg = get_tts_config()
         slice_size = max(1, min(tts_cfg.AUDIO_TOKENS_PER_SLICE, self.cfg.max_new_tokens))
         t3c = self.cfg.t3
@@ -513,7 +513,13 @@ class TTSEngine:
             # never exceed slice+EOS — enumerate those buckets with the same
             # formula the producer uses
             resolve_T = set(plan["s3gen"])
+            stream_nb: Dict[int, set] = {}
             if stream_on:
+                from .s3gen_scheduler import (
+                    STREAM_BLOCK_SNAP,
+                    stream_block_tokens,
+                )
+
                 resolve_T = set()
                 for s in sorted({
                     _snap_slice_size(s, self.cfg.max_new_tokens)
@@ -524,6 +530,16 @@ class TTSEngine:
                         t = next((b for b in bl if b >= c), None)
                         if t is not None:
                             resolve_T.add(t)
+                    # stream dispatch sizes the static block to the batch's
+                    # max new_len (≤ slice + EOS); batches of short first
+                    # slices pick SMALLER snap blocks, so cover every block
+                    # up to the slice's own
+                    nb_cap = stream_block_tokens(s + 1, 10**9)
+                    for t in bl:
+                        stream_nb.setdefault(t, set()).update(
+                            min(nb, t) for nb in STREAM_BLOCK_SNAP
+                            if nb <= nb_cap
+                        )
             # every power-of-two batch the scheduler's coalescing can form
             # at each bucket (bounded by the token-product HBM budget)
             for T in plan["s3gen"]:
@@ -531,8 +547,8 @@ class TTSEngine:
                 while b <= self.s3gen_scheduler.allowed_batch(T):
                     if T in resolve_T:
                         plan["s3gen_batched"].append((T, b))
-                    if stream_on:
-                        plan["s3gen_stream"].append((T, b))
+                    for nb in sorted(stream_nb.get(T, ())):
+                        plan["s3gen_stream"].append((T, b, nb))
                     b *= 2
         if self.decoder is not None:
             from .scheduler import LOOKAHEAD_STEPS
@@ -619,8 +635,8 @@ class TTSEngine:
             for T, Bv in plan["s3gen_batched"]:
                 batched_by_T.setdefault(T, []).append(Bv)
             stream_by_T: Dict[int, list] = {}
-            for T, Bv in plan["s3gen_stream"]:
-                stream_by_T.setdefault(T, []).append(Bv)
+            for T, Bv, nb in plan["s3gen_stream"]:
+                stream_by_T.setdefault(T, []).append((Bv, nb))
             stream0 = None
             if stream_by_T and cfm_cache is not None:
                 stream0 = await asyncio.to_thread(
@@ -705,17 +721,17 @@ class TTSEngine:
                             self.s3gen_scheduler.ban_batch(T, Bv)
                             break
                     state_len = self.s3gen_scheduler.state_len
-                    for Bv in sorted(stream_by_T.get(T, [])):
+                    for Bv, nb in sorted(stream_by_T.get(T, [])):
                         if stream0 is None:
                             break
                         if Bv > self.s3gen_scheduler.allowed_batch(T):
                             break
-                        def warm_stream(T=T, Bv=Bv):
+                        def warm_stream(T=T, Bv=Bv, nb=nb):
                             rB = jax.tree.map(
                                 lambda x: jnp.stack([x] * Bv, 0), conds.gen_ref
                             )
                             tails, _, _ = self.s3gen_scheduler._infer_fn_stream(
-                                T, Bv
+                                T, Bv, nb
                             )(
                                 self.params["s3gen"],
                                 jnp.zeros((Bv, 1, T), jnp.int32),

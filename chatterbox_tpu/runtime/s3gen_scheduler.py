@@ -45,6 +45,22 @@ from ..models.s3gen import s3gen_inference
 # code. The fetched tail is min(MAX_TAIL_TOKENS, bucket)·spt samples.
 MAX_TAIL_TOKENS = 101
 
+# Static streaming-block ladder (tokens): the streaming CFM solves a
+# right-packed block of new_block·up_stride frames per slice, so the block
+# must be sized to the SLICE, not to MAX_TAIL_TOKENS — the r5 sweep measured
+# the 101-token block costing 1.6-1.7 s/call at B=16 (every bucket ≥ 128)
+# vs 0.9 s for the 35-token block: ~45% of full-overlap S3Gen wall was
+# solving padding. Values cover every snapped slice size + the EOS code
+# (engine.SLICE_SIZE_SNAP s → s+1 ≤ one of these).
+STREAM_BLOCK_SNAP = (36, 71, 101)
+
+
+def stream_block_tokens(max_new: int, bucket: int) -> int:
+    """Smallest static streaming block that holds ``max_new`` new tokens,
+    clamped to the bucket (accumulated ≥ new) and MAX_TAIL_TOKENS."""
+    nb = next((s for s in STREAM_BLOCK_SNAP if s >= max_new), MAX_TAIL_TOKENS)
+    return max(1, min(nb, MAX_TAIL_TOKENS, bucket))
+
 
 @dataclasses.dataclass
 class _Job:
@@ -226,18 +242,23 @@ class S3GenScheduler:
             self._jit[jit_key] = infer
         return self._jit[jit_key]
 
-    def _infer_fn_stream(self, T: int, B: int):
+    def _infer_fn_stream(self, T: int, B: int, nb: int | None = None):
         """Batched streaming full-overlap graph: per-request state trees are
         stacked on entry and unstacked on exit INSIDE the jit, so the only
-        host work per call is flattening the arg pytree."""
-        jit_key = (T, B, "stream")
+        host work per call is flattening the arg pytree. ``nb`` is the static
+        streaming-block size in tokens (≥ every row's new_len; see
+        stream_block_tokens) — the estimator's per-slice cost scales with it,
+        so the dispatcher picks the smallest snapped block that fits."""
+        if nb is None:
+            nb = min(MAX_TAIL_TOKENS, T)
+        jit_key = (T, B, nb, "stream")
         if jit_key not in self._jit:
             stream_infer = self._stream_infer
             spt = self.cfg.samples_per_token
             n = T * spt
             tail = self._tail_len(T)
             state_len = self.state_len
-            new_block = min(MAX_TAIL_TOKENS, T)
+            new_block = nb
 
             @jax.jit
             def infer(params, tokens, token_len, new_len, ref, states,
@@ -430,7 +451,8 @@ class S3GenScheduler:
                 out_rstates = None
                 if jobs[0].rstate is not None:
                     nlen = np.asarray([[j.new_len] for j in pj], np.int32)
-                    tails, new_states, out_rstates = self._infer_fn_stream(T, B)(
+                    nb = stream_block_tokens(max(j.new_len for j in jobs), T)
+                    tails, new_states, out_rstates = self._infer_fn_stream(T, B, nb)(
                         self.params, tokens, tlen, nlen, ref, states, clen,
                         keys, starts, [j.rstate for j in pj], cache,
                     )

@@ -119,13 +119,13 @@ def test_ref_arch_checkpoint_arch_mismatch_rejected(env, engine, tmp_path):
 def test_full_overlap_uses_streaming_graph(env, engine):
     """Full-overlap requests run the streaming CFM path by default
     (CHATTERBOX_CFM_STREAM=1 + the "step" prompt cache): the scheduler must
-    have compiled a (bucket, B, "stream") graph, and the emitted audio span
-    must match the non-streaming full-overlap contract (one sample per
-    token-time, wav container)."""
+    have compiled a (bucket, B, new_block, "stream") graph, and the emitted
+    audio span must match the non-streaming full-overlap contract (one sample
+    per token-time, wav container)."""
     data = asyncio.run(_collect(engine, request_id="stream-graph-req"))
     assert data[:4] == b"RIFF" and len(data) > 44
     keys = list(engine.s3gen_scheduler._jit)
-    assert any(len(k) == 3 and k[2] == "stream" for k in keys), keys
+    assert any(len(k) == 4 and k[3] == "stream" for k in keys), keys
 
 
 def test_zero_overlap_unaffected_by_streaming(env, engine):

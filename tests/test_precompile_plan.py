@@ -193,13 +193,15 @@ def test_precompile_populates_dispatch_caches(engine):
     # every insert text bucket has its jit built
     assert set(engine.decoder._insert_jit) >= set(plan["insert"])
     # every (bucket, batch) S3Gen variant the scheduler can form is built.
-    # _jit keys are (T, B, cached|"stream"): project to (T, B) per mode —
-    # which cached flag live traffic uses depends on the voice's CFM cache,
-    # and precompile warms the same flag it will see.
-    built = {k[:2] for k in engine.s3gen_scheduler._jit if k[2] != "stream"}
+    # _jit keys are (T, B, cached) for re-solve and (T, B, nb, "stream") for
+    # streaming: project to (T, B) / (T, B, nb) per mode — which cached flag
+    # live traffic uses depends on the voice's CFM cache, and precompile
+    # warms the same flag it will see.
+    built = {k[:2] for k in engine.s3gen_scheduler._jit if len(k) == 3}
     assert built >= set(plan["s3gen_batched"])
     built_stream = {
-        k[:2] for k in engine.s3gen_scheduler._jit if k[2] == "stream"
+        k[:3] for k in engine.s3gen_scheduler._jit
+        if len(k) == 4 and k[3] == "stream"
     }
     assert built_stream >= set(plan["s3gen_stream"])
 
@@ -220,6 +222,8 @@ def test_full_config_s3gen_stream_covered(max_new):
     accumulated-bucket demand rides the STREAM graphs and the plain re-solve
     graphs stay reachable only through zero-overlap slices — the plan must
     cover both demand sets."""
+    from chatterbox_tpu.runtime.s3gen_scheduler import stream_block_tokens
+
     eng = _fake_full_engine(max_new)
     eng.s3gen_scheduler._stream_infer = object()   # as the ref arch wires it
     p = eng._precompile_plan()
@@ -228,12 +232,16 @@ def test_full_config_s3gen_stream_covered(max_new):
     for req in range(1, 201):
         s = _snap_slice_size(req, eng.cfg.max_new_tokens)
         buckets = _token_bucket_sizes(s, cap)
-        # full-overlap accumulated counts → stream graphs
+        # full-overlap accumulated counts → stream graphs; the dispatcher
+        # sizes the static block to the batch's max new_len (≤ slice + EOS)
+        nb_demand = {stream_block_tokens(n, 10**9)
+                     for n in range(1, min(s + 1, cap) + 1)}
         for c in range(3, min(cap, eng.cfg.max_new_tokens + 1) + 1):
             T = next((b for b in buckets if b >= c), None)
             b = 1
             while b <= eng.s3gen_scheduler.allowed_batch(T):
-                assert (T, b) in plan_stream, (T, b)
+                for nb in nb_demand:
+                    assert (T, b, min(nb, T)) in plan_stream, (T, b, nb)
                 b *= 2
         # zero-overlap counts (≤ slice+EOS, min-3 pad) → re-solve graphs
         for c in range(3, min(s + 1, cap) + 1):
