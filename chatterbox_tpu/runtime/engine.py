@@ -247,6 +247,30 @@ def _lookahead_size(slice_size: int) -> int:
     return max(3, -(-slice_size // 5))
 
 
+# Largest progressive slice: must stay below MAX_TAIL_TOKENS (the emitted
+# tail window) and inside the streaming block ladder (s3gen_scheduler.
+# STREAM_BLOCK_SNAP covers new_len ≤ 101), so 100 — the SLICE_SIZE_SNAP top.
+PROGRESSIVE_SLICE_CAP = 100
+
+
+def _progressive_enabled() -> bool:
+    """CHATTERBOX_PROGRESSIVE_SLICES=1: in full-overlap streaming mode, later
+    slices grow (s → 2s → … capped at 100 tokens) once the playback buffer is
+    ahead. DELIBERATE DEVIATION from the reference's fixed per-request
+    audio_tokens_per_slice (/root/reference/src/tts_streaming.py:423): larger
+    late slices halve the per-wave S3Gen call count (per-call fixed dispatch
+    cost is the measured full-mode capacity tax) without touching TTFA — the
+    first two slices keep the reference cadence."""
+    return os.environ.get("CHATTERBOX_PROGRESSIVE_SLICES", "0") == "1"
+
+
+def _next_slice_target(cur: int, slice_size: int, cap: int) -> int:
+    """Next progressive slice size: double, snap to the compiled ladder,
+    never shrink, cap at PROGRESSIVE_SLICE_CAP."""
+    nxt = _snap_slice_size(cur * 2, cap)
+    return min(max(nxt, cur, slice_size), PROGRESSIVE_SLICE_CAP)
+
+
 def _token_bucket_sizes(slice_size: int, cap: int):
     """Buckets for the accumulated-token axis: an exact-fit first bucket for
     the slice size, then a doubling ladder SHARED across all slice sizes
@@ -533,8 +557,11 @@ class TTSEngine:
                     # stream dispatch sizes the static block to the batch's
                     # max new_len (≤ slice + EOS); batches of short first
                     # slices pick SMALLER snap blocks, so cover every block
-                    # up to the slice's own
-                    nb_cap = stream_block_tokens(s + 1, 10**9)
+                    # up to the slice's own. Progressive slicing grows late
+                    # slices to PROGRESSIVE_SLICE_CAP — cover its whole ladder
+                    top = (max(s, PROGRESSIVE_SLICE_CAP)
+                           if _progressive_enabled() else s)
+                    nb_cap = stream_block_tokens(top + 1, 10**9)
                     for t in bl:
                         stream_nb.setdefault(t, set()).update(
                             min(nb, t) for nb in STREAM_BLOCK_SNAP
@@ -1344,10 +1371,15 @@ class TTSEngine:
 
             slice_size = _snap_slice_size(audio_tokens_per_slice, self.cfg.max_new_tokens)
 
+            # progressive slices ride the streaming graphs' block ladder, so
+            # they require the streaming full-overlap path to be active
+            progressive = _progressive_enabled() and stream0 is not None
+
             t3_task = asyncio.create_task(
                 self._t3_producer(
                     text_chunks, token_q, conds, cfg_guidance_weight,
                     synthesis_temperature, slice_size, request_id, cancellation_token,
+                    progressive=progressive,
                 )
             )
             s3_task = asyncio.create_task(
@@ -1408,6 +1440,7 @@ class TTSEngine:
         slice_size: int,
         request_id: str,
         token: CancellationToken,
+        progressive: bool = False,
     ) -> None:
         t3p = self.params["t3"]
         t3c = self.cfg.t3
@@ -1429,7 +1462,7 @@ class TTSEngine:
                     n_slices = await self._produce_chunk_batched(
                         conds, lanes, len(ids), cfg_weight, temperature,
                         slice_size, token_q, token, i, len(text_chunks),
-                        request_id,
+                        request_id, progressive=progressive,
                     )
                     log.info(
                         "[%s][T3] chunk %d/%d: %s slices (batched) in %.3fs",
@@ -1538,10 +1571,13 @@ class TTSEngine:
         chunk_idx: int,
         n_chunks: int,
         request_id: str = "",
+        progressive: bool = False,
     ) -> int:
         """Decode one text chunk through the continuous-batching scheduler and
         re-chunk its token stream into request-sized slices. Returns the slice
-        count, or -1 if cancelled."""
+        count, or -1 if cancelled. With ``progressive`` (full-overlap
+        streaming only — see _progressive_enabled) slices past the second
+        grow toward PROGRESSIVE_SLICE_CAP."""
         buf = np.zeros((0,), np.int32)
         slice_idx = 0
         pending: Optional[dict] = None
@@ -1578,7 +1614,12 @@ class TTSEngine:
                 slice_idx += 1
                 pending = make_item(buf[:target], slice_idx)
                 buf = buf[target:]
-                target = slice_size
+                if progressive and slice_idx >= 2:
+                    target = _next_slice_target(
+                        target, slice_size, self.cfg.max_new_tokens
+                    )
+                else:
+                    target = slice_size
                 # tokens remain past the cut → this slice provably isn't the
                 # last: emit NOW instead of holding it until the next decode
                 # slice arrives. For the first (look-ahead) slice the holdback

@@ -59,6 +59,7 @@ def main() -> None:
     os.environ.setdefault("KV_CACHE_DTYPE", "native")
     os.environ["CHATTERBOX_CFM_PROMPT_CACHE"] = "0"
     os.environ["CHATTERBOX_CFM_STREAM"] = "0"
+    os.environ["CHATTERBOX_PROGRESSIVE_SLICES"] = "0"
     os.environ.setdefault("CHATTERBOX_PALLAS", "0")
 
     import numpy as np

@@ -90,6 +90,9 @@ VARIANTS = [
                          "CHATTERBOX_CFM_PROMPT_CACHE": "0",
                          "CHATTERBOX_CFM_STREAM": "0",
                          "CHATTERBOX_PALLAS": "0"}),
+    # progressive slice growth (r5 capacity candidate): same token stream,
+    # fewer/larger streaming blocks — isolates the block-boundary deviation
+    ("progressive", {"CHATTERBOX_PROGRESSIVE_SLICES": "1"}),
     # long-chunk window study (VERDICT r4 item 6): meaningful only with
     # CHATTERBOX_MAX_NEW_TOKENS=1000 in the outer env (a 1000-token chunk →
     # ~2000 mel frames > every ring size, so eviction actually triggers;

@@ -179,9 +179,14 @@ async def run(args) -> None:
             # every stream.
             capacity = {}
             for overlap in ("full", "zero"):
-                cap, base = 0, 3000
+                cap, base, misses = 0, 3000, 0
                 # start at 2 so a sub-6-stream capacity still measures as a
-                # nonzero honest number; coarsen toward the 16-stream target
+                # nonzero honest number; coarsen toward the 16-stream target.
+                # A single failed rung does NOT stop the ladder: a non-pow2
+                # wave (10, 12) pads the batched S3Gen graphs to the next
+                # power of two (37%+ wasted lanes at 10) and can fail while
+                # the exact-fit 16-stream wave passes — capacity is the MAX
+                # passing rung; two consecutive misses end the sweep.
                 for n in (2, 4, 6, 8, 10, 12, 16, 20, 24, 28, 32):
                     if n > args.streams:
                         break
@@ -190,9 +195,11 @@ async def run(args) -> None:
                     results_out.append(out)
                     persist(partial=True)
                     if out["realtime_streams"] == n:
-                        cap = n
+                        cap, misses = n, 0
                     else:
-                        break
+                        misses += 1
+                        if misses >= 2:
+                            break
                 capacity[overlap] = cap
             cap_row = {"capacity_streams": capacity}
             print(json.dumps(cap_row), flush=True)

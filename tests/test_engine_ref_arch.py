@@ -148,3 +148,46 @@ def test_streaming_multi_chunk_state_reset(env, engine):
         _collect(engine, text=text, request_id="stream-2chunk-req")
     )
     assert data[:4] == b"RIFF" and len(data) > 44
+
+
+def test_progressive_slice_targets():
+    """The progressive ladder doubles through SLICE_SIZE_SNAP and caps at
+    PROGRESSIVE_SLICE_CAP; it never shrinks below the request's slice."""
+    from chatterbox_tpu.runtime.engine import (
+        PROGRESSIVE_SLICE_CAP, _next_slice_target,
+    )
+
+    cap = 1000
+    seq, cur = [], 35
+    for _ in range(5):
+        cur = _next_slice_target(cur, 35, cap)
+        seq.append(cur)
+    assert seq == [70, 100, 100, 100, 100]
+    assert _next_slice_target(8, 8, cap) == 16
+    assert _next_slice_target(100, 100, cap) == PROGRESSIVE_SLICE_CAP
+    # the snap cap (tiny configs) bounds the ladder below the global cap
+    assert _next_slice_target(8, 8, 12) <= 12
+
+
+def test_progressive_slices_grow_and_account_seams(env, engine, monkeypatch):
+    """CHATTERBOX_PROGRESSIVE_SLICES=1 re-chunks the SAME token stream
+    (same request_id ⇒ same _stable_seed ⇒ same tokens) into growing slices.
+    Each crossfaded seam consumes fade_len samples (CrossfadeStitcher mixes
+    2·fl into fl — the reference's per-slice fade, tts_streaming.py:709-758),
+    so fewer, larger slices must yield AT LEAST the fixed-slice length and at
+    most seam-count·fade_len more."""
+    fade_ms = 10
+    fl = engine.sr * fade_ms // 1000
+    base = asyncio.run(_collect(engine, request_id="prog-ab-req",
+                                crossfade_duration_milliseconds=fade_ms))
+    monkeypatch.setenv("CHATTERBOX_PROGRESSIVE_SLICES", "1")
+    try:
+        prog = asyncio.run(_collect(engine, request_id="prog-ab-req",
+                                    crossfade_duration_milliseconds=fade_ms))
+    finally:
+        monkeypatch.delenv("CHATTERBOX_PROGRESSIVE_SLICES", raising=False)
+    assert prog[:4] == b"RIFF"
+    extra = len(prog) - len(base)
+    # 2 bytes/sample; progressive saves some seams but never loses audio
+    assert 0 <= extra <= 16 * fl * 2, (len(base), len(prog))
+    assert extra % (fl * 2) == 0, extra
