@@ -145,6 +145,10 @@ def _measured_unit(measured: dict, extra: str) -> str:
         f"rtf_p50={measured['rtf_p50']}",
         f"ttfa_p50={measured['ttfa_p50_ms']}ms",
     ]
+    if measured.get("capacity"):
+        cap = measured["capacity"]
+        parts.append("capacity=" + "/".join(
+            f"{k}:{v}" for k, v in sorted(cap.items())))
     if measured.get("ttfa_audio_p50_ms") is not None:
         parts.append(f"ttfa_audio_p50={measured['ttfa_audio_p50_ms']}ms")
     if measured.get("aggregate_x") is not None:
